@@ -1,0 +1,59 @@
+"""Pipeline configuration.
+
+Replaces the reference's scattered config constants (reference config.py:1-26:
+DB/Redis URLs, IDLE_TIMEOUT=7200, AVERAGE_INTERVAL=900, AVERAGE_DATASET=10,
+CACHE_EXPIRY=30, upload pools) with one explicit dataclass. Everything that
+was nondeterministic in the reference (``ORDER BY RANDOM()`` dispatch,
+``uuid4`` tokens, ``random.choice`` names) is a pure function of ``seed``
+here, per the determinism requirement of the rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # determinism
+    seed: int = 42
+
+    # partitioning: partition_id = int(md5(url_canon)[:partition_hex_chars], 16)
+    # → 16 partitions with 1 hex char, 256 with 2. Chosen md5-based so the
+    # DuckDB oracle can compute the identical partition assignment in SQL.
+    partition_hex_chars: int = 1
+
+    # politeness: max URLs fetched per host per round (budget), ordering
+    # within a host is (warc_ts, url) ascending.
+    politeness_budget: int = 3
+
+    # URL-seen bloom filter: shard count and bits per shard. Hash-sharded by
+    # url_hash % n_seen_shards; each shard is one Ray actor (≙ the reference's
+    # single Postgres `seen` set at update_db.py:98-105, sharded for scale).
+    n_seen_shards: int = 8
+    seen_bits_per_shard: int = 1 << 23  # 1 MiB/shard; FP<1% at ~1M keys/shard
+    seen_num_hashes: int = 7
+
+    # lease / reap semantics (reference config.py:8, main.py:750)
+    lease_timeout_s: int = 7200
+
+    # ETA sliding window (reference config.py:11-12)
+    eta_interval_s: int = 900
+    eta_window: int = 10
+
+    # two-stage CPU→GPU routing: fraction of partitions whose stage-1
+    # artifact path hits the "postgres" short-circuit (reference
+    # main.py:413-415) — deterministic on md5(seed|partition).
+    postgres_shortcircuit_hex: str = "0"  # first md5 hex char match ⇒ 1/16
+
+    # IO
+    checkpoint_dir: str = field(default_factory=lambda: os.environ.get(
+        "GRAFT_CKPT_DIR", "/tmp/graft_ckpt"))
+
+    # stage sizing (single-node defaults; on a cluster scale with nodes)
+    batch_size: int = 8192
+    read_override_num_blocks: int | None = None
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,54 @@
+"""Fetch/extract stage functions (SURVEY.md §2.2 M10).
+
+In the reference, fetching + text extraction happen on volunteer workers and
+the server only tracks completion (reference main.py:627-697). In the
+rebuild, the "fetch" reads the ``html`` binary column from the input pages
+table and the extractor must reproduce the input ``text`` column
+**byte-identically** (BASELINE.json input_hint per-row invariant).
+
+The synthetic html is ``<html><body><p>TEXT</p></body></html>`` (ASCII), so
+extraction is an exact inverse: strip one prefix and one suffix. Vectorized
+with pyarrow string kernels; DuckDB oracle equivalent:
+``substr(decode(html), 16, octet_length(html) - 33)``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schemas import HTML_PREFIX, HTML_SUFFIX
+
+_PREFIX = HTML_PREFIX.decode()
+_SUFFIX = HTML_SUFFIX.decode()
+
+
+def extract_text_array(html: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """binary html → extracted text (vectorized)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    s = html.cast(pa.string())
+    s = pc.replace_substring(s, _PREFIX, "", max_replacements=1)
+    # strip the suffix: slice to len - len(suffix)
+    n = pc.subtract(pc.utf8_length(s), len(_SUFFIX))
+    # pyarrow's slice stop must be scalar; emulate variable stop by reversing
+    s = pc.utf8_reverse(s)
+    s = pc.utf8_replace_slice(s, 0, len(_SUFFIX), "")
+    s = pc.utf8_reverse(s)
+    del n
+    return s
+
+
+def fetch_extract_batch(batch: pa.Table, verify: bool = True) -> pa.Table:
+    """map_batches body: add ``text_extracted``; when ``verify``, fail loudly
+    on any row where extraction is not byte-identical to ``text``."""
+    extracted = extract_text_array(batch.column("html"))
+    if verify:
+        eq = pc.all(pc.equal(extracted, batch.column("text").combine_chunks()
+                             if isinstance(batch.column("text"), pa.ChunkedArray)
+                             else batch.column("text")))
+        if not eq.as_py():
+            bad = pc.not_equal(extracted, batch.column("text"))
+            urls = batch.filter(bad).column("url").to_pylist()[:3]
+            raise AssertionError(f"extract(html) != text for urls {urls}")
+    return batch.append_column("text_extracted", extracted)

@@ -1,0 +1,137 @@
+"""Reusable Ray Data building blocks for the frontier pipelines.
+
+Stage chain (≙ reference job lifecycle, SURVEY.md §3.1):
+read pages → canonicalize+hash → exact-dedup (first-wins by min warc_ts) →
+robots gate → politeness ranking → dispatch → fetch/extract.
+
+Every builder returns a *lazy* Dataset; nothing here materializes the main
+input. The only driver-side materialization is the survivor-timestamp set in
+:func:`dedup_survivors` — a deliberate broadcast semi-join (see its
+docstring for the 10^10-scale variant).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.canonicalize import canonicalize_array, canonicalize_batch
+from ..sources.synth import ensure_frontier
+
+
+def pages_path(sf_dir: str) -> str:
+    return os.path.join(ensure_frontier(sf_dir), "pages.parquet")
+
+
+def pages_ds(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    """Column-pruned read of the synthetic frontier for a scale factor."""
+    return ray.data.read_parquet(pages_path(sf_dir), columns=columns)
+
+
+def canonicalize_light(batch: pa.Table) -> pa.Table:
+    """url → url_canon + host only (no md5) for queries that don't need it."""
+    canon, host = canonicalize_array(batch.column("url"))
+    return batch.append_column("url_canon", canon).append_column("host", host)
+
+
+def with_canon(ds: Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+               light: bool = False) -> Dataset:
+    fn = canonicalize_light if light else (
+        lambda b: canonicalize_batch(b, cfg.partition_hex_chars))
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=cfg.batch_size,
+                          zero_copy_batch=True)
+
+
+def _ts_us(batch: pa.Table) -> pa.Table:
+    """int64 microseconds view of warc_ts (aggregation-friendly)."""
+    col = batch.column("warc_ts")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return batch.append_column("ts_us", col.cast(pa.int64()))
+
+
+def _partial_min_ts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (url_canon, ts_us) row per canon URL with the
+    batch-local min — shrinks the groupby shuffle (partial aggregation)."""
+    import pandas as pd
+    df = pd.DataFrame({"url_canon": np.asarray(batch.column("url_canon")),
+                       "ts_us": np.asarray(batch.column("ts_us"))})
+    out = df.groupby("url_canon", sort=False)["ts_us"].min().reset_index()
+    return pa.table({"url_canon": pa.array(out["url_canon"].to_numpy(dtype=object), pa.string()),
+                     "ts_us": pa.array(out["ts_us"].to_numpy(), pa.int64())})
+
+
+def survivor_ts_set(canon_ds: Dataset) -> np.ndarray:
+    """First-wins dedup key set: min(warc_ts) per url_canon.
+
+    Because ``warc_ts`` is globally unique in the frontier, the min-timestamp
+    per canonical URL *identifies* the surviving row, so dedup = membership
+    of ``ts_us`` in this set. Two-phase: per-batch partial min (map_batches
+    combiner) → ``groupby(url_canon).min`` over the shrunk partials → driver
+    collects one int64 per unique URL.
+
+    Scale note: at 10^10 unique URLs this driver-side set (~80 GB) would not
+    fit; the scale path replaces the broadcast with a bucketed hash
+    semi-join — both sides keyed by ``url_hash % B``, per-bucket joins inside
+    map_groups — or with the bloom seen-filter actor pool
+    (stages/seen_filter.py), which is the streaming production path. The
+    broadcast variant is kept because it is *exact* and DuckDB-verifiable.
+    """
+    partial = canon_ds.map_batches(_ts_us, batch_format="pyarrow").map_batches(
+        _partial_min_ts, batch_format="pyarrow")
+    agg = partial.groupby("url_canon").min("ts_us")
+    col = "min(ts_us)" if "min(ts_us)" in agg.schema().names else "ts_us"
+    out = np.concatenate([np.asarray(b[col])
+                          for b in agg.iter_batches(batch_format="pyarrow",
+                                                    batch_size=65536)] or
+                         [np.empty(0, np.int64)])
+    return out.astype(np.int64)
+
+
+def filter_survivors(canon_ds: Dataset, ts_set: np.ndarray) -> Dataset:
+    """Keep only first-wins survivor rows (broadcast membership filter)."""
+    ref = ray.put(ts_set)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ts = ray.get(ref)
+        b = _ts_us(batch)
+        mask = pc.is_in(b.column("ts_us"), value_set=pa.array(ts, pa.int64()))
+        return b.filter(mask).drop_columns(["ts_us"])
+
+    return canon_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def dedup_survivors(ds_canon: Dataset) -> Dataset:
+    """Exact first-wins dedup by canonical URL (D1, SURVEY.md §2.7)."""
+    return filter_survivors(ds_canon, survivor_ts_set(ds_canon))
+
+
+def actor_pool_size(reserve: int = 2, cap: int = 12) -> int:
+    """Size an actor pool to cluster CPUs minus a reserve so the pool never
+    starves the read/write task stages (an all-CPU pool deadlocks the
+    streaming executor on a small node)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(cap, cpus - reserve))
+
+
+def robots_gated(ds: Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 concurrency: int | None = None) -> Dataset:
+    """Append ``allowed`` via the cached robots actor pool (T3)."""
+    from ..stages.robots import RobotsGate
+    return ds.map_batches(RobotsGate, batch_format="pyarrow",
+                          batch_size=cfg.batch_size,
+                          concurrency=concurrency or actor_pool_size())
+
+
+def robots_allowed_only(ds: Dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        concurrency: int | None = None) -> Dataset:
+    return robots_gated(ds, cfg, concurrency).map_batches(
+        lambda b: b.filter(b.column("allowed")).drop_columns(["allowed"]),
+        batch_format="pyarrow")

@@ -1,0 +1,91 @@
+"""Frontier operator queries — Ray Data implementations.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* path; the matching
+synthetic frontier is materialized idempotently under /tmp/graft_frontier)
+and returns a Dataset / pandas DataFrame whose columns exactly match the
+DuckDB oracle in :mod:`.oracle` (same names, same dtypes) so the driver's
+order-insensitive value-hash comparison passes.
+
+Operator ↔ reference mapping is in SURVEY.md §2 (M8/M9 canonicalize, D1
+dedup, T3 robots, O5 politeness, T1/O3 dispatch, M10 extract, A6 counters).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.extract import fetch_extract_batch
+from ..stages.dispatch import dispatch_table
+from ..stages.politeness import politeness_ranked
+from . import frontier_core as core
+
+
+def q_url_canonicalize(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.pages_ds(sf_dir, columns=["url"])
+    return core.with_canon(ds, cfg, light=True).select_columns(
+        ["url", "url_canon", "host"])
+
+
+def q_url_dedup_exact(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
+    return core.dedup_survivors(ds).select_columns(["url_canon", "url", "warc_ts"])
+
+
+def q_robots_gate(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
+    return core.robots_gated(core.dedup_survivors(ds), cfg).select_columns(
+        ["url_canon", "host", "allowed"])
+
+
+def q_politeness_rank(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
+    allowed = core.robots_allowed_only(core.dedup_survivors(ds), cfg)
+    slim = allowed.select_columns(["host", "url_canon", "warc_ts"])
+    return politeness_ranked(slim, cfg.politeness_budget).select_columns(
+        ["host", "url_canon", "politeness_rank", "fetch_round"])
+
+
+def q_dispatch_order(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg)
+    allowed = core.robots_allowed_only(core.dedup_survivors(ds), cfg)
+    parts = allowed.unique("partition_id")
+    return dispatch_table(sorted(parts), cfg.seed)
+
+
+def q_extract_text(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.pages_ds(sf_dir, ["url", "warc_ts", "html", "text"])
+    return ds.map_batches(fetch_extract_batch, batch_format="pyarrow",
+                          batch_size=cfg.batch_size,
+                          zero_copy_batch=True).select_columns(
+        ["url", "warc_ts", "text_extracted"])
+
+
+def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
+    n_pages = ds.count()
+    survivors = core.dedup_survivors(ds)
+    gated = core.robots_gated(survivors, cfg).materialize()
+    n_unique = gated.count()
+    allowed = gated.map_batches(
+        lambda b: b.filter(b.column("allowed")).drop_columns(["allowed"]),
+        batch_format="pyarrow").materialize()
+    n_allowed = allowed.count()
+    n_hosts = len(allowed.unique("host"))
+    ranked = politeness_ranked(
+        allowed.select_columns(["host", "url_canon", "warc_ts"]),
+        cfg.politeness_budget)
+    n_round0 = ranked.map_batches(
+        lambda b: b.filter(pa.compute.less_equal(b.column("politeness_rank"),
+                                                 cfg.politeness_budget)),
+        batch_format="pyarrow").count()
+    return pd.DataFrame({
+        "n_pages": pd.array([n_pages], dtype="int64"),
+        "n_unique": pd.array([n_unique], dtype="int64"),
+        "n_dups_removed": pd.array([n_pages - n_unique], dtype="int64"),
+        "n_blocked": pd.array([n_unique - n_allowed], dtype="int64"),
+        "n_allowed": pd.array([n_allowed], dtype="int64"),
+        "n_hosts": pd.array([n_hosts], dtype="int64"),
+        "n_round0": pd.array([n_round0], dtype="int64"),
+    })

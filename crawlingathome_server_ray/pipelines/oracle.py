@@ -1,0 +1,91 @@
+"""DuckDB oracle SQL for every SQL-expressible operator.
+
+The frontier queries run over the deterministic synthetic pages parquet
+(materialized by sources/synth.py under /tmp/graft_frontier/<sf>/); the SQL
+here recomputes canonicalization / md5-hash-partitioning / robots rules /
+politeness ranking entirely in ANSI SQL so DuckDB independently reproduces
+the Ray results value-for-value. Analytics oracles (in __ray_entry__) run on
+the driver's pre-registered TPC-H-ish views instead.
+"""
+
+from __future__ import annotations
+
+from ..config import DEFAULT_CONFIG
+
+PAGES_SF001 = "/tmp/graft_frontier/sf0.01/pages.parquet"
+
+# shared CTE chain: canon → dedup → gated → ranked
+_CTE = """
+WITH raw AS (
+  SELECT url, warc_ts, html, text,
+    lower(regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^#]*)', 1)) AS scheme,
+    lower(regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^#]*)', 2)) AS auth0,
+    regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^#]*)', 3) AS rest
+  FROM read_parquet('{pages}')
+), canon AS (
+  SELECT url, warc_ts, html, text,
+    scheme || '://' || auth || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS url_canon,
+    regexp_replace(auth, ':[0-9]*$', '') AS host
+  FROM (
+    SELECT *, CASE WHEN scheme = 'http'  THEN regexp_replace(auth0, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                   ELSE auth0 END AS auth
+    FROM raw)
+), dedup AS (
+  SELECT * FROM canon
+  QUALIFY row_number() OVER (PARTITION BY url_canon ORDER BY warc_ts) = 1
+), gated AS (
+  SELECT *,
+    NOT (substr(md5(host), 1, 2) <= '05'
+         OR (substr(md5(host), 3, 1) IN ('a', 'b')
+             AND regexp_replace(url_canon, '^[^:]+://[^/?#]*', '') LIKE '/private/%'))
+    AS allowed
+  FROM dedup
+), ranked AS (
+  SELECT host, url_canon,
+    row_number() OVER (PARTITION BY host ORDER BY warc_ts, url_canon) AS politeness_rank
+  FROM gated WHERE allowed
+)
+"""
+
+
+def frontier_oracle_sql(pages_path: str = PAGES_SF001,
+                        budget: int = DEFAULT_CONFIG.politeness_budget,
+                        seed: int = DEFAULT_CONFIG.seed) -> dict[str, str]:
+    cte = _CTE.format(pages=pages_path)
+    return {
+        "url_canonicalize": cte + """
+SELECT url, url_canon, host FROM canon""",
+
+        "url_dedup_exact": cte + """
+SELECT url_canon, url, warc_ts FROM dedup""",
+
+        "robots_gate": cte + """
+SELECT url_canon, host, allowed FROM gated""",
+
+        "politeness_rank": cte + f"""
+SELECT host, url_canon, politeness_rank,
+       (politeness_rank - 1) // {budget} AS fetch_round
+FROM ranked""",
+
+        "dispatch_order": cte + f"""
+SELECT CAST(partition_id AS INTEGER) AS partition_id,
+       row_number() OVER (ORDER BY md5('{seed}|' || partition_id)) AS dispatch_rank
+FROM (SELECT DISTINCT strpos('0123456789abcdef', substr(md5(url_canon), 1, 1)) - 1
+        AS partition_id
+      FROM gated WHERE allowed)""",
+
+        "extract_text": f"""
+SELECT url, warc_ts,
+       substr(decode(html), 16, octet_length(html) - 33) AS text_extracted
+FROM read_parquet('{pages_path}')""",
+
+        "frontier_counters": cte + f"""
+SELECT (SELECT count(*) FROM canon)  AS n_pages,
+       (SELECT count(*) FROM dedup)  AS n_unique,
+       (SELECT count(*) FROM canon) - (SELECT count(*) FROM dedup) AS n_dups_removed,
+       (SELECT count(*) FROM gated WHERE NOT allowed) AS n_blocked,
+       (SELECT count(*) FROM gated WHERE allowed)     AS n_allowed,
+       (SELECT count(DISTINCT host) FROM gated WHERE allowed) AS n_hosts,
+       (SELECT count(*) FROM ranked WHERE politeness_rank <= {budget}) AS n_round0""",
+    }

@@ -1,0 +1,43 @@
+"""Per-host politeness priority queue (rebuild-new O5, SURVEY.md §2.6).
+
+The reference dispatches uniform CommonCrawl shards in random order
+(reference models.py:112 ``ORDER BY RANDOM()``); the north_rule replaces
+this with a per-host politeness queue: within each host, URLs are ordered by
+``(warc_ts, url_canon)`` and assigned
+
+    politeness_rank  = 1-based position within the host
+    fetch_round      = (politeness_rank - 1) // budget
+
+so at most ``budget`` URLs of a host are fetched per round. Realized as the
+``groupby(host)`` shuffle + per-group vectorized ranking.
+
+Skew note (10^10-frontier scale): hosts follow a Zipf law, so the hottest
+host's group can dwarf the rest. The shuffle key stays ``host`` (ranking
+needs all of a host's rows together), but per-group work is O(n log n)
+vectorized sort, and upstream stages have already collapsed rows to the slim
+``(url_canon, host, warc_ts)`` projection — the wide ``html`` column never
+enters this shuffle (SURVEY.md §7 hard-part d). For pathological hosts
+(>10^7 URLs), cap via pre-filter: budget × n_rounds_max rows per host kept
+by a salted per-batch top-k before the groupby; not needed at sandbox scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+
+def rank_host_group(g: pd.DataFrame, budget: int) -> pd.DataFrame:
+    g = g.sort_values(["warc_ts", "url_canon"], kind="mergesort")
+    rank = np.arange(1, len(g) + 1, dtype=np.int64)
+    g = g.assign(politeness_rank=rank,
+                 fetch_round=((rank - 1) // budget).astype(np.int64))
+    return g
+
+
+def politeness_ranked(ds: Dataset, budget: int) -> Dataset:
+    """groupby(host) → per-host rank + fetch_round columns."""
+    return ds.groupby("host").map_groups(
+        lambda g: rank_host_group(g, budget), batch_format="pandas")
