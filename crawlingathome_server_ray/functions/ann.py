@@ -1,0 +1,173 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(list<float> column), per the training-data-pipeline brief:
+
+- **brute force** (the oracle-checkable baseline): broadcast the normalized
+  query matrix once (``ray.put``), each ``map_batches`` task does one numpy
+  matmul against its batch and emits its local top-k per query; a tiny
+  driver-side heap merge produces the global top-k. Scales linearly with
+  corpus size and never shuffles the corpus.
+- **IVF** (the scale path): k-means-lite coarse centroids (seeded, fitted on
+  a sample), corpus bucketed by nearest centroid (one shuffle), queries
+  probe only the ``nprobe`` nearest buckets. Recall measured vs brute force
+  in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .dedup import normalize_rows
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    m = flat.reshape(len(ids), -1)
+    return ids, m
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
+                     batch_size: int = 8192):
+    """Global top-k cosine neighbors for the first ``n_queries`` vectors.
+    Returns (query_id, rank, vec_id) — ties broken by vec_id ascending, self
+    excluded. Rank/neighbor only (no float sim column) so the result is
+    robust to summation-order ulps vs the DuckDB oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qt = (ds.filter(expr=f"vec_id < {n_queries}")
+          .to_pandas().sort_values("vec_id"))
+    q_ids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qm = normalize_rows(np.stack(qt["embedding"].to_numpy()).astype(np.float64))
+    q_ref = ray.put((q_ids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        qi, qmat = ray.get(q_ref)
+        sims = normalize_rows(m) @ qmat.T                 # (n_batch, n_q)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, len(ids))
+        for j, qid in enumerate(qi):
+            col = sims[:, j]
+            top = np.argpartition(-col, kk - 1)[:kk]
+            for t in top:
+                if ids[t] != qid:
+                    out_q.append(qid); out_v.append(ids[t]); out_s.append(col[t])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow",
+                             batch_size=batch_size)
+    # merge the (n_blocks × n_queries × k) partials on the driver — small
+    pdf = partial.to_pandas()
+    pdf = pdf.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, seed: int = 42,
+                n_iter: int = 10) -> np.ndarray:
+    """Seeded mini k-means on normalized vectors (cosine ≙ dot)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = sample[mask].mean(axis=0)
+                n = np.linalg.norm(v)
+                cent[c] = v / n if n > 0 else cent[c]
+    return cent
+
+
+def ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 10,
+             n_clusters: int = 16, nprobe: int = 4, seed: int = 42,
+             batch_size: int = 8192):
+    """IVF variant: probe only the nprobe nearest coarse cells per query.
+    Output schema matches brute_force_topk; approximate (recall < 1)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    sample = ds.random_sample(min(1.0, 4096 / max(1, ds.count())), seed=seed)
+    sm = normalize_rows(np.stack(sample.to_pandas()["embedding"].to_numpy())
+                        .astype(np.float64))
+    cent = kmeans_lite(sm, n_clusters, seed)
+    cent_ref = ray.put(cent)
+
+    qt = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    q_ids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qm = normalize_rows(np.stack(qt["embedding"].to_numpy()).astype(np.float64))
+    q_cells = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    q_ref = ray.put((q_ids, qm, q_cells))
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        mn = normalize_rows(m)
+        c = ray.get(cent_ref)
+        cells = np.argmax(mn @ c.T, axis=1)
+        qi, qmat, qc = ray.get(q_ref)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qi):
+            probe = np.isin(cells, qc[j])
+            if not probe.any():
+                continue
+            sub_ids, sub = ids[probe], mn[probe]
+            sims = sub @ qmat[j]
+            kk = min(k + 1, len(sub_ids))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            for t in top:
+                if sub_ids[t] != qid:
+                    out_q.append(qid); out_v.append(sub_ids[t]); out_s.append(sims[t])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    pdf = ds.map_batches(local, batch_format="pyarrow",
+                         batch_size=batch_size).to_pandas()
+    pdf = pdf.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+
+
+def cosine_near_dup_pairs(sf_dir: str, limit_ids: int = 1000,
+                          threshold: float = 0.95, batch_size: int = 8192):
+    """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) among the
+    first ``limit_ids`` vectors: broadcast that slice, stream the corpus."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    sub = ds.filter(expr=f"vec_id < {limit_ids}").to_pandas().sort_values("vec_id")
+    ids = sub["vec_id"].to_numpy(dtype=np.int64)
+    m = normalize_rows(np.stack(sub["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, m))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bids, bm = _emb_matrix(batch)
+        keep = bids < limit_ids
+        bids, bm = bids[keep], bm[keep]
+        if len(bids) == 0:
+            return pa.table({"a_id": pa.array([], pa.int64()),
+                             "b_id": pa.array([], pa.int64())})
+        aids, am = ray.get(ref)
+        sims = normalize_rows(bm) @ am.T
+        bi, ai = np.nonzero(sims >= threshold)
+        a, b = bids[bi], aids[ai]
+        mask = a < b
+        return pa.table({"a_id": pa.array(a[mask], pa.int64()),
+                         "b_id": pa.array(b[mask], pa.int64())})
+
+    return (ds.map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
+            .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True))

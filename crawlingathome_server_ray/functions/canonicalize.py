@@ -77,14 +77,18 @@ def md5_partition(strings: np.ndarray, hex_chars: int) -> np.ndarray:
 def canonicalize_batch(batch: pa.Table, hex_chars: int = 1) -> pa.Table:
     """map_batches body: append url_canon/host/url_hash/partition_id.
 
-    md5 is computed once per unique canonical URL in the batch and scattered
-    back (duplicate URLs are common in a crawl frontier).
+    ``url_hash`` = md5(url_canon) (the dedup key); ``partition_id`` =
+    md5(host) prefix (the dispatch/politeness unit — every host maps to
+    exactly one partition, so per-host politeness is partition-local).
+    md5 is computed once per unique value per batch and scattered back.
     """
     canon, host = canonicalize_array(batch.column("url"))
     canon_np = np.asarray(canon)
     uniq, inv = np.unique(canon_np, return_inverse=True)
     hashes = md5_hash64(uniq)[inv]
-    parts = md5_partition(uniq, hex_chars)[inv]
+    host_np = np.asarray(host)
+    huniq, hinv = np.unique(host_np, return_inverse=True)
+    parts = md5_partition(huniq, hex_chars)[hinv]
     return (batch
             .append_column("url_canon", canon)
             .append_column("host", host)

@@ -1,0 +1,280 @@
+"""Analytics operators — the reference's counting / leaderboard / join /
+window endpoints re-expressed as Ray Data pipelines over the driver's
+relational test tables, each with an exactly-matching DuckDB oracle.
+
+Mapping (SURVEY.md §2):
+- A1 completion counts (reference main.py:96-97, 153-154)  → ``completion_counts``
+- A2 per-type client counts (main.py:110-112)              → ``clients_per_type``
+- A4+O2 leaderboard grouped sums + top-k desc
+  (main.py:428-435, 196-197)                               → ``leaderboard_topk``
+- O1 worker listing sort+limit (main.py:102-108)           → ``worker_listing``
+- J3 isCompleted semi+anti join (main.py:467-478)          → ``is_completed``
+- J2 lookup-wat count gate (main.py:382-401)               → ``lookup_chunks``
+- D2 union of partitions (update_db.py:44-96)              → ``union_partitions``
+- A5/W2 sliding-window ETA rate (main.py:762-808)          → ``eta_window``
+- plus ``lineitem_agg`` — the wide-groupby workhorse used for bench.
+
+Float determinism: every aggregate that feeds the driver's value-hash is
+either an integer sum (money in cents via ``floor(x*100+0.5)``) or a
+single well-defined double division, so Ray's parallel combine and
+DuckDB's sequential scan produce bit-identical results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+BATCH = 65536
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- A1
+def q_completion_counts(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus")
+        return pa.table({
+            "n_total": pa.array([b.num_rows], pa.int64()),
+            "n_closed": pa.array([pc.sum(pc.equal(st, "F")).as_py() or 0], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=BATCH)
+    tot = parts.sum(["n_total", "n_closed"])
+    n_total, n_closed = int(tot["sum(n_total)"]), int(tot["sum(n_closed)"])
+    return pd.DataFrame({"n_total": pd.array([n_total], "int64"),
+                         "n_closed": pd.array([n_closed], "int64"),
+                         "pct_complete": [n_closed * 100.0 / n_total]})
+
+
+SQL_COMPLETION = """
+SELECT count(*) AS n_total,
+       count(*) FILTER (o_orderstatus = 'F') AS n_closed,
+       (count(*) FILTER (o_orderstatus = 'F') * 100.0) / count(*) AS pct_complete
+FROM orders"""
+
+
+# ---------------------------------------------------------------- A2
+def q_clients_per_type(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    out = ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_clients"))
+    return out
+
+
+SQL_CLIENTS = """
+SELECT c_mktsegment, count(*) AS n_clients FROM customer GROUP BY c_mktsegment"""
+
+
+# ---------------------------------------------------------------- A4 + O2
+def q_leaderboard_topk(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5))
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "price_cents": c.cast(pa.int64())})
+
+    agg = (orders.map_batches(cents, batch_format="pyarrow", batch_size=BATCH)
+           .groupby("o_custkey")
+           .aggregate(Count(alias_name="n_jobs"),
+                      Sum("price_cents", alias_name="total_cents")))
+    top = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(20)
+    return top.select_columns(["o_custkey", "n_jobs", "total_cents"])
+
+
+SQL_LEADERBOARD = """
+SELECT o_custkey, count(*) AS n_jobs,
+       CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+ORDER BY total_cents DESC, o_custkey LIMIT 20"""
+
+
+# ---------------------------------------------------------------- O1
+def q_worker_listing(sf_dir: str):
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    agg = ev.groupby("user_id").aggregate(Min("ts", alias_name="first_seen"))
+    return agg.sort(["first_seen", "user_id"]).limit(50)
+
+
+SQL_WORKERS = """
+SELECT user_id, min(ts) AS first_seen FROM events GROUP BY user_id
+ORDER BY first_seen, user_id LIMIT 50"""
+
+
+# ---------------------------------------------------------------- J3
+def q_is_completed(sf_dir: str):
+    """Semi+anti join: a customer is 'completed' iff it has no order that is
+    still open (status <> 'F') — including customers with no orders at all
+    (the reference reports unknown addresses complete, main.py:469-477)."""
+    open_keys = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+                 .map_batches(lambda b: b.filter(
+                     pc.not_equal(b.column("o_orderstatus"), "F"))
+                     .select(["o_custkey"]),
+                     batch_format="pyarrow", batch_size=BATCH)
+                 .unique("o_custkey"))
+    ref = ray.put(set(open_keys))
+
+    def flag(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = np.array([k not in keys for k in
+                         np.asarray(b.column("c_custkey")).tolist()])
+        return pa.table({"c_custkey": b.column("c_custkey"),
+                         "is_completed": pa.array(mask)})
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        flag, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_IS_COMPLETED = """
+SELECT c_custkey,
+       c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F')
+       AS is_completed
+FROM customer"""
+
+
+# ---------------------------------------------------------------- J2
+def q_lookup_chunks(sf_dir: str):
+    """Orders with exactly 2 lineitems (≙ the 2-shard chunk gate at
+    reference main.py:382-401 ``len(body) < 2``)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    agg = li.groupby("l_orderkey").aggregate(Count(alias_name="n_lines"))
+    return agg.map_batches(lambda b: b.filter(pc.equal(b.column("n_lines"), 2)),
+                           batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_LOOKUP = """
+SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+GROUP BY l_orderkey HAVING count(*) = 2"""
+
+
+# ---------------------------------------------------------------- D2
+def q_union_partitions(sf_dir: str):
+    """ds.union of per-state partitions → per-state counts (≙ the bootstrap
+    merging open/closed/gpu job lists, reference update_db.py:44-96)."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus"])
+    f = orders.filter(expr="o_orderstatus == 'F'")
+    o = orders.filter(expr="o_orderstatus == 'O'")
+    p = orders.filter(expr="o_orderstatus == 'P'")
+    u = f.union(o, p)
+    return u.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+SQL_UNION = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P') GROUP BY o_orderstatus"""
+
+
+# ---------------------------------------------------------------- A5 / W2
+ETA_INTERVAL_S = 900
+ETA_WINDOW = 10
+
+
+def q_eta_window(sf_dir: str):
+    """Sliding-window rate: events per 900 s bucket, mean of the last ≤10
+    buckets (the reference's ETA estimator, main.py:762-808). The windowed
+    mean is integer-sum / count → bit-exact vs SQL AVG."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = b.column("ts")
+        if isinstance(us, pa.ChunkedArray):
+            us = us.combine_chunks()
+        bucket = pc.divide(us.cast(pa.int64()),
+                           ETA_INTERVAL_S * 1_000_000)
+        return pa.table({"bucket": bucket})
+
+    agg = (ev.map_batches(bucketize, batch_format="pyarrow", batch_size=BATCH)
+           .groupby("bucket").aggregate(Count(alias_name="n_events"))
+           .sort("bucket").to_pandas())
+    counts = agg["n_events"].astype("int64").tolist()
+    rate = []
+    for i in range(len(counts)):
+        w = counts[max(0, i - ETA_WINDOW + 1): i + 1]
+        rate.append(sum(w) / len(w))
+    agg["rate_mean"] = rate
+    agg["bucket"] = agg["bucket"].astype("int64")
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return agg[["bucket", "n_events", "rate_mean"]]
+
+
+SQL_ETA = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / {ETA_INTERVAL_S}) AS BIGINT) AS bucket,
+         count(*) AS n_events
+  FROM events GROUP BY 1)
+SELECT bucket, n_events,
+       avg(n_events) OVER (ORDER BY bucket
+                           ROWS BETWEEN {ETA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+       AS rate_mean
+FROM b ORDER BY bucket"""
+
+
+# ---------------------------------------------------------------- bench workhorse
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-flavoured wide aggregate (integer-cents for determinism)."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ext = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+        base_c = pc.floor(pc.add(pc.multiply(ext, 100.0), 0.5)).cast(pa.int64())
+        disc_price = pc.multiply(ext, pc.subtract(1.0, disc))
+        disc_c = pc.floor(pc.add(pc.multiply(disc_price, 100.0), 0.5)).cast(pa.int64())
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "l_linestatus": b.column("l_linestatus"),
+                         "qty": b.column("l_quantity"),
+                         "base_cents": base_c, "disc_cents": disc_c})
+
+    agg = (li.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="sum_qty"),
+                      Sum("base_cents", alias_name="sum_base_cents"),
+                      Sum("disc_cents", alias_name="sum_disc_cents"),
+                      Count(alias_name="n")))
+    return agg
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)) AS BIGINT)
+         AS sum_disc_cents,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+ANALYTICS_QUERIES = {
+    "completion_counts": q_completion_counts,
+    "clients_per_type": q_clients_per_type,
+    "leaderboard_topk": q_leaderboard_topk,
+    "worker_listing": q_worker_listing,
+    "is_completed": q_is_completed,
+    "lookup_chunks": q_lookup_chunks,
+    "union_partitions": q_union_partitions,
+    "eta_window": q_eta_window,
+    "lineitem_agg": q_lineitem_agg,
+}
+
+ANALYTICS_SQL = {
+    "completion_counts": SQL_COMPLETION,
+    "clients_per_type": SQL_CLIENTS,
+    "leaderboard_topk": SQL_LEADERBOARD,
+    "worker_listing": SQL_WORKERS,
+    "is_completed": SQL_IS_COMPLETED,
+    "lookup_chunks": SQL_LOOKUP,
+    "union_partitions": SQL_UNION,
+    "eta_window": SQL_ETA,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+}

@@ -1,0 +1,284 @@
+"""Flagship pipeline: the full URL-frontier crawl scheduler, end to end.
+
+Reproduces the reference's job lifecycle (SURVEY.md §3.1: /api/new →
+/api/newJob → markAsDone CPU → GPU stage → closed, reference
+main.py:484-697) as a two-phase Ray Data pipeline:
+
+**Phase A — bootstrap** (≙ ``update_db.py`` frontier build): one streaming
+pass ``read_parquet(pages) → canonicalize+hash → write_parquet`` hive-
+partitioned by ``partition_id`` ( = first hex char of md5(host), so every
+host's URLs land in exactly one partition → politeness is globally exact
+per-host while staying partition-local). This is the pipeline's single
+full-data shuffle; all later reads are partition-pruned directory reads.
+
+**Phase B — crawl waves**: partitions are processed in the seeded dispatch
+permutation (≙ ``ORDER BY RANDOM()`` at reference models.py:112, made
+deterministic), grouped into *waves* to amortize per-execution scheduling
+cost — the partition stays the unit of lease/close/manifest; the wave is
+only the unit of execution. Per wave, ONE streaming pass runs
+
+    bloom seen-filter (shared actor shards) → robots gate (per-worker rule
+    cache) → fetch/extract (byte-identical text invariant, html dropped)
+
+as a single vectorized ``map_batches`` function over zero-copy Arrow, then
+the politeness ranking runs on the slim (url_hash, host, url_canon)
+projection — the wide columns never enter the ``groupby(host)`` shuffle
+(SURVEY.md §7 hard-part d) — and the schedule is broadcast back. Stage-1
+parquet is written hive-partitioned; partitions whose upload store is
+"postgres" close directly (reference main.py:413-415, 650-652); the rest
+run the GPU stage (per-URL token counts → ``pairs_scraped``) and close.
+
+Every partition close writes an atomic manifest (state, lease, counters,
+lineage); bloom snapshots commit per wave. Kill the driver at any point and
+``run_crawl(resume=True)`` skips closed partitions and reproduces the same
+final state (tests/test_flagship.py).
+
+Scale notes: on a real cluster, partitions number 256+ (partition_hex_chars
+= 2) and wave size ≈ cluster width; the driver-side politeness schedule
+broadcast is per-wave and slim (16 B/URL) — at 10^10-URL scale it becomes a
+bucketed hash join (both sides keyed by url_hash % B) instead of a driver
+dict, with everything else unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions.canonicalize import canonicalize_batch, md5_partition
+from ..functions.extract import fetch_extract_batch
+from ..sources.synth import ensure_frontier
+from ..stages.dispatch import dispatch_order, worker_name
+from ..stages.robots import allowed_mask
+from ..stages.seen_filter import SeenFilter, make_shards, snapshot_shards
+from ..state.checkpoint import (CLOSED, GPU, LEASED, STAGE_VERSIONS, Manifest)
+from ..state.counters import CounterActor
+
+NICKNAME_POOL = 5
+DEFAULT_WAVE_SIZE = 8
+
+
+def upload_store(seed: int, pid: int) -> str:
+    """Deterministic analog of the reference's random upload-address pools
+    (reference main.py:507-510): ~2/16 of partitions get the 'postgres'
+    store, which short-circuits the GPU stage (reference main.py:413-415)."""
+    h = hashlib.md5(f"store|{seed}|{pid}".encode()).hexdigest()
+    return "postgres" if h[0] in ("0", "1") else "files"
+
+
+def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
+    """Phase A: canonicalize + hash-partition the frontier once (resumable)."""
+    done = os.path.join(staging, "_STAGED")
+    if os.path.exists(done):
+        return staging
+    pages = os.path.join(ensure_frontier(sf_dir, cfg.seed), "pages.parquet")
+    ds = ray.data.read_parquet(pages)
+    ds = ds.map_batches(lambda b: canonicalize_batch(b, cfg.partition_hex_chars),
+                        batch_format="pyarrow", batch_size=cfg.batch_size,
+                        zero_copy_batch=True)
+    ds.write_parquet(staging, partition_cols=["partition_id"])
+    Path(done).touch()
+    return staging
+
+
+def _partition_ids(staging: str) -> list[int]:
+    return sorted(int(p.name.split("=")[1]) for p in Path(staging).iterdir()
+                  if p.name.startswith("partition_id="))
+
+
+def _make_cpu_stage(shards, counter, hex_chars: int):
+    """The wave's single hot map function: seen-filter → robots → extract.
+
+    A plain task function (not an actor pool): the bloom state lives in the
+    shared shard actors, the robots rule cache in the worker process — so
+    there is no per-execution actor spin-up, and Ray schedules it elastically.
+    """
+    seen = SeenFilter(shards)
+    n_parts = 16 ** hex_chars
+
+    def stage(batch: pa.Table) -> pa.Table:
+        if "partition_id" in batch.schema.names:
+            # restored by hive-path inference on the staged files
+            pids_in = np.asarray(batch.column("partition_id")).astype(np.int32)
+            batch = batch.set_column(
+                batch.schema.get_field_index("partition_id"), "partition_id",
+                pa.array(pids_in, pa.int32()))
+        else:
+            hosts = np.asarray(batch.column("host"))
+            uniq, inv = np.unique(hosts, return_inverse=True)
+            pids_in = md5_partition(uniq, hex_chars)[inv]
+            batch = batch.append_column("partition_id",
+                                        pa.array(pids_in, pa.int32()))
+        n_in = np.bincount(pids_in, minlength=n_parts)
+
+        deduped = seen(batch)
+        pids_d = np.asarray(deduped.column("partition_id"))
+        n_new = np.bincount(pids_d, minlength=n_parts)
+
+        allowed = allowed_mask(deduped)
+        fetched = deduped.filter(pa.array(allowed))
+        pids_f = np.asarray(fetched.column("partition_id"))
+        n_ok = np.bincount(pids_f, minlength=n_parts)
+
+        incrs = []
+        for pid in np.unique(pids_in):
+            incrs.append(counter.incr.remote(int(pid), {
+                "urls_seen": int(n_in[pid]),
+                "urls_deduped": int(n_in[pid] - n_new[pid]),
+                "robots_blocked": int(n_new[pid] - n_ok[pid]),
+                "urls_fetched": int(n_ok[pid]),
+            }))
+        ray.get(incrs)  # sync: counters complete before the manifest commits
+
+        out = fetch_extract_batch(fetched, verify=True)
+        return out.drop_columns(["html"])
+
+    return stage
+
+
+def _politeness_schedule(surv_ds, budget: int) -> dict:
+    """Slim groupby(host) ranking → {url_hash: (rank, round)} for the wave."""
+    from ..stages.politeness import politeness_ranked
+    slim = surv_ds.select_columns(["url_hash", "host", "url_canon"])
+    ranked = politeness_ranked(slim, budget, order=("url_canon",))
+    sched: dict[int, tuple[int, int]] = {}
+    for b in ranked.iter_batches(batch_format="pyarrow", batch_size=65536):
+        sched.update(zip(np.asarray(b["url_hash"]).tolist(),
+                         zip(np.asarray(b["politeness_rank"]).tolist(),
+                             np.asarray(b["fetch_round"]).tolist())))
+    return sched
+
+
+def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+              out_root: str | None = None, resume: bool = True,
+              stop_after: int | None = None,
+              wave_size: int = DEFAULT_WAVE_SIZE) -> dict:
+    """Run (or resume) the crawl; returns the metrics summary."""
+    out_root = out_root or os.path.join(cfg.checkpoint_dir,
+                                        os.path.basename(os.path.normpath(sf_dir)))
+    if not resume:
+        shutil.rmtree(out_root, ignore_errors=True)
+    staging = os.path.join(out_root, "staging")
+    manifest = Manifest(out_root, cfg.lease_timeout_s)
+
+    t0 = time.time()
+    bootstrap_staging(sf_dir, cfg, staging)
+    universe = _partition_ids(staging)
+    order = dispatch_order(universe, cfg.seed)
+
+    counter = CounterActor.remote()
+    shards = make_shards(cfg.n_seen_shards, cfg.seen_bits_per_shard,
+                         cfg.seen_num_hashes,
+                         snapshots=manifest.load_seen_snapshot() if resume else None)
+    lineage_base = {"input": staging, "seed": cfg.seed,
+                    "stage_versions": STAGE_VERSIONS}
+    stage1_root = os.path.join(out_root, "stage1")
+    stage2_root = os.path.join(out_root, "stage2")
+
+    todo = [p for p in order if manifest.state(p) != CLOSED]
+    if stop_after is not None:
+        todo = todo[:stop_after]
+
+    cpu_stage = _make_cpu_stage(shards, counter, cfg.partition_hex_chars)
+
+    for w0 in range(0, len(todo), wave_size):
+        wave = todo[w0:w0 + wave_size]
+        nicks = {pid: (worker_name(cfg.seed + 1, pid % NICKNAME_POOL),
+                       worker_name(cfg.seed, pid % NICKNAME_POOL))
+                 for pid in wave}
+        for pid in wave:
+            # claim (≙ reference main.py:549-598 atomic claim dance)
+            manifest.transition(pid, LEASED, completor=nicks[pid][0])
+            for root in (stage1_root, stage2_root):
+                shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
+                              ignore_errors=True)
+
+        files = sorted(str(f) for p in wave
+                       for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
+        ds = ray.data.read_parquet(files)
+        surv = ds.map_batches(cpu_stage, batch_format="pyarrow",
+                              batch_size=cfg.batch_size,
+                              zero_copy_batch=True).materialize()
+
+        sched_ref = ray.put(_politeness_schedule(surv, cfg.politeness_budget))
+
+        def attach_schedule(batch: pa.Table) -> pa.Table:
+            s = ray.get(sched_ref)
+            pairs = [s[h] for h in np.asarray(batch.column("url_hash")).tolist()]
+            return (batch
+                    .append_column("politeness_rank",
+                                   pa.array([p[0] for p in pairs], pa.int64()))
+                    .append_column("fetch_round",
+                                   pa.array([p[1] for p in pairs], pa.int64())))
+
+        final = surv.map_batches(attach_schedule, batch_format="pyarrow",
+                                 batch_size=cfg.batch_size)
+        final.write_parquet(stage1_root, partition_cols=["partition_id"])
+
+        # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
+        stores = {pid: upload_store(cfg.seed, pid) for pid in wave}
+        gpu_pids = [p for p in wave if stores[p] != "postgres"]
+        pairs_by_pid: dict[int, int] = {}
+        if gpu_pids:
+            pid_arr = pa.array(gpu_pids, pa.int32())
+
+            def tokens(batch: pa.Table) -> pa.Table:
+                keep = pc.is_in(batch.column("partition_id"), value_set=pid_arr)
+                b = batch.filter(keep)
+                txt = b.column("text_extracted")
+                if isinstance(txt, pa.ChunkedArray):
+                    txt = txt.combine_chunks()
+                n = pc.list_value_length(pc.utf8_split_whitespace(txt)).cast(pa.int64())
+                return pa.table({"url_canon": b.column("url_canon"),
+                                 "lang": b.column("lang"),
+                                 "partition_id": b.column("partition_id"),
+                                 "n_tokens": n})
+
+            tok = surv.map_batches(tokens, batch_format="pyarrow",
+                                   batch_size=cfg.batch_size).materialize()
+            tok.write_parquet(stage2_root, partition_cols=["partition_id"])
+            for row in tok.groupby("partition_id").sum("n_tokens").take_all():
+                pairs_by_pid[int(row["partition_id"])] = int(row["sum(n_tokens)"])
+
+        # ---- per-partition close (state machine + counters + lineage) ----
+        for pid in wave:
+            cpu_nick, gpu_nick = nicks[pid]
+            gpu_url = f"{stores[pid]}://{stage1_root}/partition_id={pid}"
+            counters = ray.get(counter.snapshot.remote(pid))
+            if stores[pid] == "postgres":
+                manifest.transition(pid, CLOSED, completor=cpu_nick,
+                                    gpu_url=gpu_url, counters=counters,
+                                    lineage=lineage_base,
+                                    output_path=f"{stage1_root}/partition_id={pid}")
+            else:
+                pairs = pairs_by_pid.get(pid, 0)
+                counters["pairs_scraped"] = pairs
+                manifest.transition(pid, GPU, gpu_url=gpu_url)
+                manifest.transition(pid, LEASED, completor=gpu_nick)
+                manifest.transition(pid, CLOSED, completor=gpu_nick,
+                                    counters=counters, lineage=lineage_base,
+                                    pairs_scraped=pairs,
+                                    output_path=f"{stage2_root}/partition_id={pid}")
+        manifest.save_seen_snapshot(snapshot_shards(shards))
+
+    wall = time.time() - t0
+    totals = manifest.totals()
+    fetched = totals.get("urls_fetched", 0)
+    return {
+        "wall_s": wall,
+        "urls_per_s": fetched / wall if wall > 0 else 0.0,
+        "dispatch_order": order,
+        "partitions_closed": sorted(manifest.closed_partitions()),
+        "totals": totals,
+        "out_root": out_root,
+    }

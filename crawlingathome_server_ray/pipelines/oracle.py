@@ -71,7 +71,7 @@ FROM ranked""",
         "dispatch_order": cte + f"""
 SELECT CAST(partition_id AS INTEGER) AS partition_id,
        row_number() OVER (ORDER BY md5('{seed}|' || partition_id)) AS dispatch_rank
-FROM (SELECT DISTINCT strpos('0123456789abcdef', substr(md5(url_canon), 1, 1)) - 1
+FROM (SELECT DISTINCT strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1
         AS partition_id
       FROM gated WHERE allowed)""",
 

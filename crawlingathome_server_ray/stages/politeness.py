@@ -29,15 +29,25 @@ import pandas as pd
 from ray.data import Dataset
 
 
-def rank_host_group(g: pd.DataFrame, budget: int) -> pd.DataFrame:
-    g = g.sort_values(["warc_ts", "url_canon"], kind="mergesort")
+DEFAULT_ORDER = ("warc_ts", "url_canon")
+
+
+def rank_host_group(g: pd.DataFrame, budget: int,
+                    order: tuple[str, ...] = DEFAULT_ORDER) -> pd.DataFrame:
+    g = g.sort_values(list(order), kind="mergesort")
     rank = np.arange(1, len(g) + 1, dtype=np.int64)
     g = g.assign(politeness_rank=rank,
                  fetch_round=((rank - 1) // budget).astype(np.int64))
     return g
 
 
-def politeness_ranked(ds: Dataset, budget: int) -> Dataset:
-    """groupby(host) → per-host rank + fetch_round columns."""
+def politeness_ranked(ds: Dataset, budget: int,
+                      order: tuple[str, ...] = DEFAULT_ORDER) -> Dataset:
+    """groupby(host) → per-host rank + fetch_round columns.
+
+    ``order`` is the within-host priority. The flagship pipeline uses
+    ``("url_canon",)`` so ranks are invariant to which duplicate row survived
+    the streaming bloom filter (survivor arrival order is nondeterministic;
+    the canonical URL is not)."""
     return ds.groupby("host").map_groups(
-        lambda g: rank_host_group(g, budget), batch_format="pandas")
+        lambda g: rank_host_group(g, budget, order), batch_format="pandas")

@@ -36,6 +36,41 @@ def rule_for_host(host: str) -> tuple[bool, str]:
     return False, ""
 
 
+def _rules_cached(hosts: np.ndarray, cache: dict,
+                  max_cache: int = 1 << 20) -> tuple[np.ndarray, np.ndarray]:
+    dis_all = np.empty(len(hosts), dtype=bool)
+    dis_prefix = np.empty(len(hosts), dtype=bool)
+    for i, h in enumerate(hosts):
+        r = cache.get(h)
+        if r is None:
+            if len(cache) >= max_cache:
+                cache.clear()  # cheap wholesale eviction; rules are cheap to recompute
+            r = rule_for_host(h)
+            cache[h] = r
+        dis_all[i] = r[0]
+        dis_prefix[i] = bool(r[1])
+    return dis_all, dis_prefix
+
+
+# per-worker-process rule cache: task-based stages reuse it across batches
+# scheduled on the same Ray worker (≙ an actor's state, without pool spin-up)
+_PROCESS_CACHE: dict[str, tuple[bool, str]] = {}
+
+
+def allowed_mask(batch: pa.Table,
+                 cache: dict | None = None) -> np.ndarray:
+    """Vectorized robots decision for a batch with url_canon + host columns."""
+    hosts = np.asarray(batch.column("host"))
+    uniq, inv = np.unique(hosts, return_inverse=True)
+    dis_all, dis_prefix = _rules_cached(uniq, _PROCESS_CACHE if cache is None else cache)
+    canon = batch.column("url_canon")
+    if isinstance(canon, pa.ChunkedArray):
+        canon = canon.combine_chunks()
+    path = pc.replace_substring_regex(canon, _AUTH_RE, "")
+    in_private = np.asarray(pc.starts_with(path, ROBOTS_PREFIX))
+    return ~(dis_all[inv] | (dis_prefix[inv] & in_private))
+
+
 class RobotsGate:
     """Actor-pool stage: append boolean ``allowed`` from cached per-host rules."""
 
@@ -43,30 +78,6 @@ class RobotsGate:
         self._cache: dict[str, tuple[bool, str]] = {}
         self._max_cache = max_cache
 
-    def _rules(self, hosts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        dis_all = np.empty(len(hosts), dtype=bool)
-        dis_prefix = np.empty(len(hosts), dtype=bool)
-        cache = self._cache
-        for i, h in enumerate(hosts):
-            r = cache.get(h)
-            if r is None:
-                if len(cache) >= self._max_cache:
-                    cache.clear()  # cheap wholesale eviction; rules are cheap to recompute
-                r = rule_for_host(h)
-                cache[h] = r
-            dis_all[i] = r[0]
-            dis_prefix[i] = bool(r[1])
-        return dis_all, dis_prefix
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hosts = np.asarray(batch.column("host"))
-        uniq, inv = np.unique(hosts, return_inverse=True)
-        dis_all, dis_prefix = self._rules(uniq)
-        path = pc.replace_substring_regex(
-            batch.column("url_canon").combine_chunks()
-            if isinstance(batch.column("url_canon"), pa.ChunkedArray)
-            else batch.column("url_canon"),
-            _AUTH_RE, "")
-        in_private = np.asarray(pc.starts_with(path, ROBOTS_PREFIX))
-        allowed = ~(dis_all[inv] | (dis_prefix[inv] & in_private))
+        allowed = allowed_mask(batch, cache=self._cache)
         return batch.append_column("allowed", pa.array(allowed))

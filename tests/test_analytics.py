@@ -1,0 +1,26 @@
+"""Analytics operators vs DuckDB oracles on the driver testdata (sf0.001)."""
+
+import duckdb
+import pytest
+
+from conftest import SF, assert_frames_match
+from crawlingathome_server_ray.pipelines.analytics import (ANALYTICS_QUERIES,
+                                                           ANALYTICS_SQL)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ANALYTICS_QUERIES))
+def test_analytics_matches_oracle(ray_session, name):
+    con = _con(SF)
+    oracle = con.execute(ANALYTICS_SQL[name]).df()
+    result = ANALYTICS_QUERIES[name](SF)
+    assert_frames_match(result, oracle, name)

@@ -1,0 +1,58 @@
+"""Manifest state machine (≙ reference models.py:6-7 job lifecycle)."""
+
+import pytest
+
+from crawlingathome_server_ray.state.checkpoint import (CLOSED, GPU, LEASED,
+                                                        OPEN, Manifest)
+
+
+def test_lifecycle_hybrid_path(tmp_path):
+    m = Manifest(str(tmp_path))
+    assert m.state(3) == OPEN
+    m.transition(3, LEASED, completor="w1")
+    assert m.state(3) == LEASED
+    m.transition(3, CLOSED, completor="w1", counters={"urls_fetched": 10})
+    assert m.state(3) == CLOSED
+    assert m.closed_partitions() == {3}
+
+
+def test_lifecycle_two_stage(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.transition(1, LEASED, completor="cpu")
+    m.transition(1, GPU, gpu_url="files:///x")
+    assert m.state(1) == GPU
+    m.transition(1, LEASED, completor="gpu")
+    m.transition(1, CLOSED, completor="gpu", pairs_scraped=42)
+    assert m.read(1)["pairs_scraped"] == 42
+
+
+def test_close_is_idempotent(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.transition(2, LEASED)
+    m.transition(2, CLOSED, counters={"a": 1})
+    before = m.read(2)
+    m.transition(2, CLOSED, counters={"a": 999})  # replay is a no-op
+    assert m.read(2)["counters"] == before["counters"]
+
+
+def test_invalid_transition_rejected(tmp_path):
+    m = Manifest(str(tmp_path))
+    with pytest.raises(ValueError):
+        m.transition(4, GPU)  # open → gpu skips the lease
+
+
+def test_lease_expiry_reopens(tmp_path):
+    m = Manifest(str(tmp_path), lease_timeout_s=10)
+    m.transition(5, LEASED, completor="w")
+    rec = m.read(5)
+    assert m.state(5) == LEASED
+    # 11 seconds later the reaper logic treats it as open (main.py:748-759)
+    assert m.state(5, now=rec["lease_ts"] + 11) == OPEN
+
+
+def test_totals_accumulate(tmp_path):
+    m = Manifest(str(tmp_path))
+    for pid in (1, 2):
+        m.transition(pid, LEASED)
+        m.transition(pid, CLOSED, counters={"urls_fetched": 5, "robots_blocked": 1})
+    assert m.totals() == {"urls_fetched": 10, "robots_blocked": 2}

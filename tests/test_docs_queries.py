@@ -1,0 +1,105 @@
+"""Training-data operators (dedup/text/ANN/multimodal) vs DuckDB oracles
+and structural checks at sf0.001."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from conftest import SF, assert_frames_match, to_pandas
+from crawlingathome_server_ray.pipelines import docs_queries as dq
+from crawlingathome_server_ray.pipelines.frontier_core import pages_path
+from test_analytics import _con
+
+
+@pytest.mark.parametrize("name", sorted(dq.DOCS_SQL))
+def test_docs_query_matches_oracle(ray_session, name):
+    con = _con(SF)
+    oracle = con.execute(dq.DOCS_SQL[name]).df()
+    result = dq.DOCS_QUERIES[name](SF)
+    assert_frames_match(result, oracle, name)
+
+
+def test_binary_meta_matches_oracle(ray_session):
+    sql = dq.sql_binary_meta(pages_path(SF))
+    oracle = duckdb.sql(sql).df()
+    assert_frames_match(dq.q_binary_meta(SF), oracle, "binary_meta")
+
+
+def test_fingerprint_deterministic(ray_session):
+    a = to_pandas(dq.q_doc_fingerprint(SF)).sort_values("doc_id")
+    b = to_pandas(dq.q_doc_fingerprint(SF)).sort_values("doc_id")
+    assert (a["fingerprint"].to_numpy() == b["fingerprint"].to_numpy()).all()
+    from crawlingathome_server_ray.functions.text import fingerprint_text
+    assert fingerprint_text("abc") == ((97 * 257 + 98) * 257 + 99) % ((1 << 61) - 1)
+
+
+def test_minhash_clusters_are_near_dups(ray_session):
+    """Every reported cluster member pair passes the Jaccard threshold, and
+    exact duplicate texts always cluster together (no false negatives on
+    identical docs)."""
+    out = to_pandas(dq.q_minhash_dedup(SF))
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    from crawlingathome_server_ray.functions.dedup import jaccard
+    by_cluster = {}
+    for d, c in zip(out["doc_id"], out["cluster_id"]):
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert int(c) == min(int(m) for m in members)
+    # exact dup texts must co-cluster
+    seen = {}
+    for d, t in text.items():
+        if t in seen:
+            a, b = seen[t], d
+            ca = out.loc[out.doc_id == a, "cluster_id"]
+            cb = out.loc[out.doc_id == b, "cluster_id"]
+            assert len(ca) and len(cb) and ca.iloc[0] == cb.iloc[0], \
+                f"exact dups {a},{b} not co-clustered"
+        seen.setdefault(t, d)
+
+
+def test_simhash_pairs_verified(ray_session):
+    out = to_pandas(dq.q_simhash_pairs(SF))
+    from crawlingathome_server_ray.functions.dedup import hamming64, simhash
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    text = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    for a, b in zip(out["a_id"], out["b_id"]):
+        ha = np.array([simhash(text[int(a)])], dtype=np.uint64)
+        hb = np.array([simhash(text[int(b)])], dtype=np.uint64)
+        assert hamming64(ha, hb)[0] <= 3
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    bf = to_pandas(dq.q_ann_topk(SF))
+    ivf = to_pandas(dq.q_ann_ivf_topk(SF))
+    bf_sets = bf.groupby("query_id")["vec_id"].apply(set)
+    ivf_sets = ivf.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.5, f"IVF mean recall too low: {recalls}"
+
+
+def test_multimodal_stages(ray_session):
+    import ray.data
+    from crawlingathome_server_ray.stages.multimodal import (DecodeStage,
+                                                             FeatureExtractStage,
+                                                             FrameSampleStage,
+                                                             FEATURE_DIM)
+    ds = ray.data.read_parquet(pages_path(SF), columns=["url", "html"]).limit(256)
+    dec = ds.map_batches(DecodeStage, fn_constructor_kwargs={"fake": True},
+                         batch_size=128, concurrency=2,
+                         batch_format="pyarrow").to_pandas()
+    assert {"width", "height", "format"} <= set(dec.columns)
+    assert dec["width"].between(64, 255).all()
+    feat = ds.map_batches(FeatureExtractStage, fn_constructor_kwargs={"fake": True},
+                          batch_size=128, concurrency=2,
+                          batch_format="pyarrow").to_pandas()
+    assert len(feat["features"].iloc[0]) == FEATURE_DIM
+    frames = ds.map_batches(FrameSampleStage, batch_size=128, concurrency=2,
+                            batch_format="pyarrow").to_pandas()
+    assert len(frames) == 256 * 3
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)._decode_real(b"x")

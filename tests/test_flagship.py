@@ -1,0 +1,112 @@
+"""Flagship crawl pipeline vs the pure-Python reference-semantics oracle
+(refsim): dispatch ordering, URL-seen/fetched sets, politeness ranks,
+counters, two-stage state machine, leaderboard — plus kill/resume
+idempotence (SURVEY.md §5.2, §5.5)."""
+
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF
+from crawlingathome_server_ray.config import PipelineConfig
+from crawlingathome_server_ray.pipelines.frontier import run_crawl
+from crawlingathome_server_ray.refsim.sim import simulate
+from crawlingathome_server_ray.sources.synth import ensure_frontier
+from crawlingathome_server_ray.state.checkpoint import Manifest
+
+CFG = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_test")
+
+
+@pytest.fixture(scope="module")
+def crawl_and_sim(ray_session):
+    shutil.rmtree(CFG.checkpoint_dir, ignore_errors=True)
+    summary = run_crawl(SF, CFG, resume=False)
+    pages = pq.read_table(ensure_frontier(SF, CFG.seed) + "/pages.parquet")
+    sim = simulate(pages, CFG)
+    return summary, sim
+
+
+def _stage1(summary, pid):
+    return pq.read_table(f"{summary['out_root']}/stage1/partition_id={pid}")
+
+
+def test_dispatch_order_matches(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    assert summary["dispatch_order"] == sim.dispatch
+
+
+def test_all_partitions_closed(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    assert summary["partitions_closed"] == sorted(sim.states)
+
+
+def test_fetched_url_set_matches(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    for pid in sim.dispatch:
+        got = set(_stage1(summary, pid).column("url_canon").to_pylist())
+        assert got == sim.fetched[pid], f"partition {pid} fetched set differs"
+
+
+def test_politeness_ranks_match(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    for pid in sim.dispatch:
+        t = _stage1(summary, pid)
+        for c, r, fr in zip(t.column("url_canon").to_pylist(),
+                            t.column("politeness_rank").to_pylist(),
+                            t.column("fetch_round").to_pylist()):
+            assert sim.rank[c] == (r, fr), f"rank mismatch for {c}"
+
+
+def test_counters_match(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    m = Manifest(summary["out_root"], CFG.lease_timeout_s)
+    for pid, rec in m.all().items():
+        assert rec["counters"] == sim.counters[pid], f"counters differ @ {pid}"
+
+
+def test_extract_invariant_on_output(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    for pid in sim.dispatch[:4]:
+        t = _stage1(summary, pid)
+        assert t.column("text_extracted").to_pylist() == t.column("text").to_pylist()
+
+
+def test_leaderboard_matches(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    m = Manifest(summary["out_root"], CFG.lease_timeout_s)
+    lb = {}
+    for rec in m.all().values():
+        nick = rec["completor"]
+        e = lb.setdefault(nick, {"jobs": 0, "pairs": 0})
+        e["jobs"] += 1
+        e["pairs"] += rec.get("pairs_scraped") or 0
+    assert lb == sim.leaderboard
+
+
+def test_postgres_short_circuit(crawl_and_sim):
+    summary, sim = crawl_and_sim
+    m = Manifest(summary["out_root"], CFG.lease_timeout_s)
+    from crawlingathome_server_ray.refsim.sim import is_postgres
+    for pid, rec in m.all().items():
+        if is_postgres(CFG.seed, pid):
+            assert "postgres" in rec["gpu_url"]
+            assert "pairs_scraped" not in rec
+        else:
+            assert rec.get("pairs_scraped", 0) >= 0
+            assert not rec["gpu_url"].startswith("postgres")
+
+
+def test_kill_and_resume_identical(ray_session):
+    cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_resume")
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    partial = run_crawl(SF, cfg, resume=False, stop_after=5)
+    assert len(partial["partitions_closed"]) == 5
+    resumed = run_crawl(SF, cfg, resume=True)
+    full_cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_full")
+    shutil.rmtree(full_cfg.checkpoint_dir, ignore_errors=True)
+    full = run_crawl(SF, full_cfg, resume=False)
+    assert resumed["partitions_closed"] == full["partitions_closed"]
+    m_resumed = Manifest(resumed["out_root"]).totals()
+    m_full = Manifest(full["out_root"]).totals()
+    assert m_resumed == m_full, "resume double-processed some partition"
