@@ -4,13 +4,17 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Operator inventory: SURVEY.md §2. Frontier operators run over the
+deterministic synthetic pages frontier (sources/synth.py) materialized
+under /tmp/graft_frontier/<sf>/ — their oracle SQL reads the same parquet
+via read_parquet(path), recomputing canonicalization / md5 partitioning /
+robots rules / politeness ranks entirely in SQL. Analytics and
+training-data operators run over the driver's pre-registered views.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +22,65 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from crawlingathome_server_ray.pipelines import frontier_queries as _fq
+from crawlingathome_server_ray.pipelines.analytics import (ANALYTICS_QUERIES,
+                                                           ANALYTICS_SQL,
+                                                           q_url_sample,
+                                                           sql_url_sample)
+from crawlingathome_server_ray.pipelines.docs_queries import (DOCS_QUERIES,
+                                                              DOCS_SQL,
+                                                              sql_binary_meta)
+from crawlingathome_server_ray.pipelines.frontier_core import pages_path
+from crawlingathome_server_ray.pipelines.oracle import frontier_oracle_sql
+from crawlingathome_server_ray.sources.synth import ensure_frontier
+
+# the driver compares at sf0.01; materialize that frontier at import time so
+# the oracle SQL's read_parquet path exists regardless of evaluation order
+_SF_ORACLE = "/root/testdata/sf0.01"
+ensure_frontier(_SF_ORACLE)
+
+_FRONTIER_QUERIES = {
+    "url_canonicalize": _fq.q_url_canonicalize,
+    "url_dedup_exact": _fq.q_url_dedup_exact,
+    "robots_gate": _fq.q_robots_gate,
+    "politeness_rank": _fq.q_politeness_rank,
+    "dispatch_order": _fq.q_dispatch_order,
+    "extract_text": _fq.q_extract_text,
+    "frontier_counters": _fq.q_frontier_counters,
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full crawl (bootstrap →
+    bloom seen-filter → robots → politeness → dispatch waves → two-stage
+    close) then return the fetched stage-1 dataset."""
+    import ray.data
+
+    from crawlingathome_server_ray.config import PipelineConfig
+    from crawlingathome_server_ray.pipelines.frontier import run_crawl
+
+    cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_entry")
+    summary = run_crawl("/root/testdata/sf0.001", cfg, resume=False)
+    files = []
+    import glob
+    files = sorted(glob.glob(f"{summary['out_root']}/stage1/partition_id=*/*.parquet"))
+    return ray.data.read_parquet(files)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(_FRONTIER_QUERIES)
+    out.update(ANALYTICS_QUERIES)
+    out.update(DOCS_QUERIES)
+    out["url_sample"] = q_url_sample
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sqls: dict[str, str] = {}
+    sqls.update(frontier_oracle_sql(pages_path=pages_path(_SF_ORACLE)))
+    sqls.update(ANALYTICS_SQL)
+    sqls.update(DOCS_SQL)
+    sqls["binary_meta"] = sql_binary_meta(pages_path(_SF_ORACLE))
+    sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
+    return sqls

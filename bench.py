@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "urls_per_s": ...}
+
+--scaling: runs the same suite in two fresh processes at 8 and 32 CPUs on
+the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the north_rule's N→4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from crawlingathome_server_ray.config import PipelineConfig
+    from crawlingathome_server_ray.pipelines import docs_queries as dq
+    from crawlingathome_server_ray.pipelines import frontier_queries as fq
+    from crawlingathome_server_ray.pipelines.analytics import ANALYTICS_QUERIES
+    from crawlingathome_server_ray.pipelines.frontier import run_crawl
+    from crawlingathome_server_ray.sources.synth import ensure_frontier
+
+    # warm: materialize the synthetic frontier + touch the page cache once
+    frontier = ensure_frontier(sf_dir)
+    with open(os.path.join(frontier, "pages.parquet"), "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    times: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    ckpt = f"/tmp/graft_bench_ckpt_{num_cpus}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = PipelineConfig(checkpoint_dir=ckpt)
+    summary = timed("flagship_crawl",
+                    lambda: run_crawl(sf_dir, cfg, resume=False, wave_size=8))
+    meta["urls_per_s"] = round(summary["totals"].get("urls_fetched", 0)
+                               / times["flagship_crawl"], 1)
+
+    def consume(ds):
+        # drain a Dataset without materializing on the driver
+        import ray.data
+        import pandas as pd
+        if isinstance(ds, ray.data.Dataset):
+            n = 0
+            for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(ds)
+
+    timed("url_dedup_exact", lambda: consume(fq.q_url_dedup_exact(sf_dir)))
+    timed("politeness_rank", lambda: consume(fq.q_politeness_rank(sf_dir)))
+    timed("extract_text", lambda: consume(fq.q_extract_text(sf_dir)))
+    timed("lineitem_agg", lambda: consume(ANALYTICS_QUERIES["lineitem_agg"](sf_dir)))
+    timed("leaderboard_topk", lambda: consume(ANALYTICS_QUERIES["leaderboard_topk"](sf_dir)))
+    timed("eta_window", lambda: consume(ANALYTICS_QUERIES["eta_window"](sf_dir)))
+    timed("doc_dedup_exact", lambda: consume(dq.q_doc_dedup_exact(sf_dir)))
+    timed("minhash_dedup", lambda: consume(dq.q_minhash_dedup(sf_dir)))
+    timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
+
+    ray.shutdown()
+    total = round(sum(times.values()), 3)
+    return {"metric": "graft_bench_total", "value": total, "unit": "sec",
+            "queries": times, "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus, **meta}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        def sub(n):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        lo, hi = 8, 32
+        r_lo, r_hi = sub(lo), sub(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
+            "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+            "urls_per_s_8": r_lo.get("urls_per_s"),
+            "urls_per_s_32": r_hi.get("urls_per_s"),
+            "queries_8": r_lo["queries"], "queries_32": r_hi["queries"],
+            "sf": r_lo["sf"]}))
+        return
+
+    print(json.dumps(run_suite(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -169,5 +170,9 @@ def cosine_near_dup_pairs(sf_dir: str, limit_ids: int = 1000,
         return pa.table({"a_id": pa.array(a[mask], pa.int64()),
                          "b_id": pa.array(b[mask], pa.int64())})
 
-    return (ds.map_batches(pairs, batch_format="pyarrow", batch_size=batch_size)
-            .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    pdf = ds.map_batches(pairs, batch_format="pyarrow",
+                         batch_size=batch_size).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
+                             "b_id": pd.array([], dtype="int64")})
+    return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)

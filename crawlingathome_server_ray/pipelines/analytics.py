@@ -255,7 +255,94 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
+# ---------------------------------------------------------------- J1 join
+def q_revenue_per_nation(sf_dir: str):
+    """Multi-way join orders ⋈ customer ⋈ nation (≙ the reference's
+    client→job FK prefetch joins, main.py:102-108) as a map-side broadcast
+    join: the small dimension tables are ray.put once and merged per batch —
+    no shuffle of the fact table. At two-large-sides scale this becomes the
+    bucketed hash join documented in ray_guide."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    ref = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = [lookup[k] for k in np.asarray(b.column("o_custkey")).tolist()]
+        cents = pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
+                                0.5)).cast(pa.int64())
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "price_cents": cents})
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(join_batch, batch_format="pyarrow", batch_size=BATCH)
+            .groupby("n_name")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("price_cents", alias_name="revenue_cents")))
+
+
+SQL_REVENUE_NATION = """
+SELECT n.n_name, count(*) AS n_orders,
+       CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+# ---------------------------------------------------------------- M1
+def q_shard_number(sf_dir: str):
+    """The reference's shard-number derivation formula
+    ``count = (end_id / 1_000_000) * 2 − (shard_of_chunk == 0)``
+    (reference update_db.py:12-16), applied vectorized with o_orderkey as
+    end_id and parity as shard_of_chunk."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        end_id = b.column("o_orderkey")
+        shard = pc.bit_wise_and(end_id, 1)  # 0/1 ≙ shard_of_chunk
+        count = pc.multiply(pc.divide(end_id, 1_000_000), 2)
+        count = pc.subtract(count, pc.equal(shard, 0).cast(pa.int64()))
+        return pa.table({"o_orderkey": end_id,
+                         "shard_number": count.cast(pa.int64())})
+
+    return ds.map_batches(derive, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_SHARD_NUMBER = """
+SELECT o_orderkey,
+       (o_orderkey // 1000000) * 2
+         - (CASE WHEN (o_orderkey & 1) = 0 THEN 1 ELSE 0 END) AS shard_number
+FROM orders"""
+
+
+# ---------------------------------------------------------------- O3
+def q_url_sample(sf_dir: str):
+    """Deterministic 1/16 sample (≙ the reference's ``ORDER BY RANDOM()
+    LIMIT 1`` sampling, models.py:112, made reproducible per north_rule):
+    keep rows whose md5(url) starts with '0'."""
+    from .frontier_core import pages_ds
+
+    def pick(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        import hashlib
+        keep = [hashlib.md5(u.encode()).hexdigest()[0] == "0" for u in urls]
+        return b.filter(pa.array(keep)).select(["url", "warc_ts"])
+
+    return pages_ds(sf_dir, ["url", "warc_ts"]).map_batches(
+        pick, batch_format="pyarrow", batch_size=BATCH)
+
+
+def sql_url_sample(pages_path: str) -> str:
+    return f"""
+SELECT url, warc_ts FROM read_parquet('{pages_path}')
+WHERE substr(md5(url), 1, 1) = '0'"""
+
+
 ANALYTICS_QUERIES = {
+    "revenue_per_nation": q_revenue_per_nation,
+    "shard_number": q_shard_number,
     "completion_counts": q_completion_counts,
     "clients_per_type": q_clients_per_type,
     "leaderboard_topk": q_leaderboard_topk,
@@ -268,6 +355,8 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_SQL = {
+    "revenue_per_nation": SQL_REVENUE_NATION,
+    "shard_number": SQL_SHARD_NUMBER,
     "completion_counts": SQL_COMPLETION,
     "clients_per_type": SQL_CLIENTS,
     "leaderboard_topk": SQL_LEADERBOARD,

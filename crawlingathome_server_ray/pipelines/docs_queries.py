@@ -209,15 +209,21 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann.ivf_topk(sf_dir, n_queries=10, k=10)
 
 
+COSINE_DUP_THRESHOLD = 0.4  # calibrated to the synthetic embeddings
+# (random-ish 64-dim vectors: max off-diagonal cosine ≈ 0.48, so 0.4 yields a
+# small, meaningful pair set; production near-dup would use 0.9+)
+
+
 def q_cosine_near_dup(sf_dir: str):
-    return ann.cosine_near_dup_pairs(sf_dir, limit_ids=1000, threshold=0.95)
+    return ann.cosine_near_dup_pairs(sf_dir, limit_ids=1000,
+                                     threshold=COSINE_DUP_THRESHOLD)
 
 
-SQL_COSINE_NEAR_DUP = """
+SQL_COSINE_NEAR_DUP = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM embeddings a, embeddings b
 WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_DUP_THRESHOLD}
 ORDER BY a_id, b_id"""
 
 

@@ -271,6 +271,9 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                     output_path=f"{stage2_root}/partition_id={pid}")
         manifest.save_seen_snapshot(snapshot_shards(shards))
 
+    for a in shards + [counter]:
+        ray.kill(a)  # do not leave zombie actors holding resources
+
     wall = time.time() - t0
     totals = manifest.totals()
     fetched = totals.get("urls_fetched", 0)

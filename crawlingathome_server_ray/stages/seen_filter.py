@@ -92,8 +92,11 @@ class BloomFilter:
         return f
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class BloomShardActor:
+    # num_cpus=0: the shard does sub-millisecond vectorized bit ops per RPC;
+    # reserving CPU slots for 8+ shards would starve the map stages on small
+    # nodes (observed deadlock at num_cpus=4 with leftover actors).
     """One bloom shard (≙ one slice of the reference's global ``seen`` set)."""
 
     def __init__(self, n_bits: int, n_hashes: int):

@@ -24,3 +24,12 @@ def test_analytics_matches_oracle(ray_session, name):
     oracle = con.execute(ANALYTICS_SQL[name]).df()
     result = ANALYTICS_QUERIES[name](SF)
     assert_frames_match(result, oracle, name)
+
+
+def test_url_sample_matches_oracle(ray_session):
+    import duckdb
+    from crawlingathome_server_ray.pipelines.analytics import (q_url_sample,
+                                                               sql_url_sample)
+    from crawlingathome_server_ray.pipelines.frontier_core import pages_path
+    oracle = duckdb.sql(sql_url_sample(pages_path(SF))).df()
+    assert_frames_match(q_url_sample(SF), oracle, "url_sample")
