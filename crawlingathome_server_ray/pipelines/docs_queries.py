@@ -123,20 +123,38 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
     ds = _docs(sf_dir, ["doc_id", "text"])
     bands_ds = ds.map_batches(
         lambda df: minhash_batch(df, n_perm=n_perm, bands=bands),
-        batch_format="pandas", batch_size=BATCH)
+        batch_format="pandas", batch_size=BATCH).materialize()
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # candidate buckets = (band_id, band_hash) groups with ≥2 members. A
+    # per-bucket map_groups would dispatch python once per bucket (≈ 16 ×
+    # n_docs groups — almost all singletons); instead aggregate counts, keep
+    # the tiny hot-bucket set, and semi-join it back by broadcast.
+    from ray.data.aggregate import Count
+    counts = (bands_ds.groupby(["band_id", "band_hash"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    hot = counts[counts["n"] >= 2]
+    hot_keys = set(zip(hot["band_id"].astype(int), hot["band_hash"]))
+    if not hot_keys:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "cluster_id": pd.array([], dtype="int64")})
+    ref = ray.put(hot_keys)
+
+    def in_hot(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        mask = [(int(b), h) in keys
+                for b, h in zip(df["band_id"], df["band_hash"])]
+        return df[pd.Series(mask, index=df.index)]
+
+    members = bands_ds.map_batches(in_hot, batch_format="pandas",
+                                   batch_size=65536).to_pandas()
+    pairs = []
+    for _, g in members.groupby(["band_id", "band_hash"], sort=False):
         ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
-                                 "b_id": pd.array([], dtype="int64")})
-        a, b = np.meshgrid(ids, ids, indexing="ij")
-        m = a < b
-        return pd.DataFrame({"a_id": a[m], "b_id": b[m]})
-
-    cand = (bands_ds.groupby(["band_id", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas().drop_duplicates())
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs.append((int(ids[x]), int(ids[y])))
+    cand = pd.DataFrame(pairs, columns=["a_id", "b_id"]).drop_duplicates() \
+        if pairs else pd.DataFrame({"a_id": [], "b_id": []})
     if len(cand) == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "cluster_id": pd.array([], dtype="int64")})

@@ -82,7 +82,10 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
     if os.path.exists(done):
         return staging
     pages = os.path.join(ensure_frontier(sf_dir, cfg.seed), "pages.parquet")
-    ds = ray.data.read_parquet(pages)
+    # a single pages file reads as few blocks by default; force enough input
+    # splits that canonicalize+write saturate the cluster
+    ds = ray.data.read_parquet(
+        pages, override_num_blocks=cfg.read_override_num_blocks or 64)
     ds = ds.map_batches(lambda b: canonicalize_batch(b, cfg.partition_hex_chars),
                         batch_format="pyarrow", batch_size=cfg.batch_size,
                         zero_copy_batch=True)
@@ -146,17 +149,26 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
     return stage
 
 
-def _politeness_schedule(surv_ds, budget: int) -> dict:
-    """Slim groupby(host) ranking → {url_hash: (rank, round)} for the wave."""
+def _politeness_schedule(surv_ds, budget: int):
+    """Slim groupby(host) ranking → (sorted url_hash keys, ranks, rounds)
+    numpy triple for the wave. Broadcast as numpy (zero-copy in the object
+    store; a python dict of 10^5+ entries costs seconds to (de)serialize per
+    task) and joined back via np.searchsorted."""
     from ..stages.politeness import politeness_ranked
     slim = surv_ds.select_columns(["url_hash", "host", "url_canon"])
     ranked = politeness_ranked(slim, budget, order=("url_canon",))
-    sched: dict[int, tuple[int, int]] = {}
-    for b in ranked.iter_batches(batch_format="pyarrow", batch_size=65536):
-        sched.update(zip(np.asarray(b["url_hash"]).tolist(),
-                         zip(np.asarray(b["politeness_rank"]).tolist(),
-                             np.asarray(b["fetch_round"]).tolist())))
-    return sched
+    hs, rks, rds = [], [], []
+    for b in ranked.select_columns(["url_hash", "politeness_rank",
+                                    "fetch_round"]).iter_batches(
+            batch_format="pyarrow", batch_size=65536):
+        hs.append(np.asarray(b["url_hash"], dtype=np.uint64))
+        rks.append(np.asarray(b["politeness_rank"], dtype=np.int64))
+        rds.append(np.asarray(b["fetch_round"], dtype=np.int64))
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    rk = np.concatenate(rks) if rks else np.empty(0, np.int64)
+    rd = np.concatenate(rds) if rds else np.empty(0, np.int64)
+    o = np.argsort(h, kind="stable")
+    return h[o], rk[o], rd[o]
 
 
 def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -172,7 +184,16 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     manifest = Manifest(out_root, cfg.lease_timeout_s)
 
     t0 = time.time()
+    phase_times: dict[str, float] = {}
+
+    def _mark(name: str, since: float) -> float:
+        phase_times[name] = round(phase_times.get(name, 0.0)
+                                  + (time.time() - since), 2)
+        return time.time()
+
+    tp = time.time()
     bootstrap_staging(sf_dir, cfg, staging)
+    tp = _mark("bootstrap", tp)
     universe = _partition_ids(staging)
     order = dispatch_order(universe, cfg.seed)
 
@@ -203,27 +224,32 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                 shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
                               ignore_errors=True)
 
+        tp = time.time()
         files = sorted(str(f) for p in wave
                        for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
         ds = ray.data.read_parquet(files)
         surv = ds.map_batches(cpu_stage, batch_format="pyarrow",
                               batch_size=cfg.batch_size,
                               zero_copy_batch=True).materialize()
+        tp = _mark("cpu_stage", tp)
 
         sched_ref = ray.put(_politeness_schedule(surv, cfg.politeness_budget))
+        tp = _mark("politeness", tp)
 
         def attach_schedule(batch: pa.Table) -> pa.Table:
-            s = ray.get(sched_ref)
-            pairs = [s[h] for h in np.asarray(batch.column("url_hash")).tolist()]
+            keys, ranks, rounds = ray.get(sched_ref)
+            h = np.asarray(batch.column("url_hash"), dtype=np.uint64)
+            pos = np.searchsorted(keys, h)
             return (batch
                     .append_column("politeness_rank",
-                                   pa.array([p[0] for p in pairs], pa.int64()))
+                                   pa.array(ranks[pos], pa.int64()))
                     .append_column("fetch_round",
-                                   pa.array([p[1] for p in pairs], pa.int64())))
+                                   pa.array(rounds[pos], pa.int64())))
 
         final = surv.map_batches(attach_schedule, batch_format="pyarrow",
                                  batch_size=cfg.batch_size)
         final.write_parquet(stage1_root, partition_cols=["partition_id"])
+        tp = _mark("stage1_write", tp)
 
         # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
         stores = {pid: upload_store(cfg.seed, pid) for pid in wave}
@@ -249,6 +275,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             tok.write_parquet(stage2_root, partition_cols=["partition_id"])
             for row in tok.groupby("partition_id").sum("n_tokens").take_all():
                 pairs_by_pid[int(row["partition_id"])] = int(row["sum(n_tokens)"])
+            tp = _mark("gpu_stage", tp)
 
         # ---- per-partition close (state machine + counters + lineage) ----
         for pid in wave:
@@ -270,6 +297,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                     pairs_scraped=pairs,
                                     output_path=f"{stage2_root}/partition_id={pid}")
         manifest.save_seen_snapshot(snapshot_shards(shards))
+        _mark("close_commit", tp)
 
     for a in shards + [counter]:
         ray.kill(a)  # do not leave zombie actors holding resources
@@ -284,4 +312,5 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         "partitions_closed": sorted(manifest.closed_partitions()),
         "totals": totals,
         "out_root": out_root,
+        "phase_times": phase_times,
     }

@@ -29,9 +29,13 @@ def pages_path(sf_dir: str) -> str:
     return os.path.join(ensure_frontier(sf_dir), "pages.parquet")
 
 
-def pages_ds(sf_dir: str, columns: list[str] | None = None) -> Dataset:
-    """Column-pruned read of the synthetic frontier for a scale factor."""
-    return ray.data.read_parquet(pages_path(sf_dir), columns=columns)
+def pages_ds(sf_dir: str, columns: list[str] | None = None,
+             num_blocks: int = 32) -> Dataset:
+    """Column-pruned read of the synthetic frontier for a scale factor.
+    The frontier is one file with 32 row groups; force that many input
+    splits so a single-file read doesn't serialize the pipeline."""
+    return ray.data.read_parquet(pages_path(sf_dir), columns=columns,
+                                 override_num_blocks=num_blocks)
 
 
 def canonicalize_light(batch: pa.Table) -> pa.Table:
