@@ -127,11 +127,15 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
 
     # candidate buckets = (band_id, band_hash) groups with ≥2 members. A
     # per-bucket map_groups would dispatch python once per bucket (≈ 16 ×
-    # n_docs groups — almost all singletons); instead aggregate counts, keep
-    # the tiny hot-bucket set, and semi-join it back by broadcast.
-    from ray.data.aggregate import Count
-    counts = (bands_ds.groupby(["band_id", "band_hash"])
-              .aggregate(Count(alias_name="n")).to_pandas())
+    # n_docs groups — almost all singletons), and Ray's sort-aggregate over
+    # that many string groups is pathologically slow; instead: per-batch
+    # partial counts → small driver combine → broadcast hot-bucket set.
+    partials = bands_ds.map_batches(
+        lambda df: df.groupby(["band_id", "band_hash"], sort=False)
+        .size().reset_index(name="n"),
+        batch_format="pandas", batch_size=65536).to_pandas()
+    counts = (partials.groupby(["band_id", "band_hash"], sort=False)["n"]
+              .sum().reset_index())
     hot = counts[counts["n"] >= 2]
     hot_keys = set(zip(hot["band_id"].astype(int), hot["band_hash"]))
     if not hot_keys:

@@ -89,13 +89,21 @@ def survivor_ts_set(canon_ds: Dataset) -> np.ndarray:
     """
     partial = canon_ds.map_batches(_ts_us, batch_format="pyarrow").map_batches(
         _partial_min_ts, batch_format="pyarrow")
-    agg = partial.groupby("url_canon").min("ts_us")
-    col = "min(ts_us)" if "min(ts_us)" in agg.schema().names else "ts_us"
-    out = np.concatenate([np.asarray(b[col])
-                          for b in agg.iter_batches(batch_format="pyarrow",
-                                                    batch_size=65536)] or
-                         [np.empty(0, np.int64)])
-    return out.astype(np.int64)
+    # final combine on the driver: each block contributed ≤1 row per distinct
+    # URL, so the driver sees ~|unique| rows — one pandas groupby, not a Ray
+    # all-to-all (Ray's sort-aggregate over 10^5+ string groups measured
+    # ~100× slower than this at sf0.1). At 10^10 scale: repartition by
+    # url_hash bucket and run this same combine per bucket.
+    import pandas as pd
+    frames = [pd.DataFrame({"url_canon": np.asarray(b["url_canon"]),
+                            "ts_us": np.asarray(b["ts_us"])})
+              for b in partial.iter_batches(batch_format="pyarrow",
+                                            batch_size=65536)]
+    if not frames:
+        return np.empty(0, np.int64)
+    allp = pd.concat(frames, ignore_index=True)
+    return allp.groupby("url_canon", sort=False)["ts_us"].min() \
+        .to_numpy(dtype=np.int64)
 
 
 def filter_survivors(canon_ds: Dataset, ts_set: np.ndarray) -> Dataset:

@@ -22,6 +22,23 @@ from ..stages.politeness import politeness_ranked
 from . import frontier_core as core
 
 
+# per-process cache of the canonicalized slim frontier (url, warc_ts,
+# url_canon, host), materialized once per sf_dir — the dedup/robots/
+# politeness query chain consumes it multiple times, and re-running the
+# regex canonicalization per pass doubled every query's wall time. ~150 MB
+# at sf0.1; at production scale this would be the staged frontier on disk
+# (pipelines/frontier.py bootstrap), not an in-memory cache.
+_SLIM_CACHE: dict[str, object] = {}
+
+
+def _slim(sf_dir: str, cfg: PipelineConfig):
+    if sf_dir not in _SLIM_CACHE:
+        ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]),
+                             cfg, light=True)
+        _SLIM_CACHE[sf_dir] = ds.materialize()
+    return _SLIM_CACHE[sf_dir]
+
+
 def q_url_canonicalize(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     ds = core.pages_ds(sf_dir, columns=["url"])
     return core.with_canon(ds, cfg, light=True).select_columns(
@@ -29,29 +46,31 @@ def q_url_canonicalize(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 
 def q_url_dedup_exact(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
-    return core.dedup_survivors(ds).select_columns(["url_canon", "url", "warc_ts"])
+    return core.dedup_survivors(_slim(sf_dir, cfg)).select_columns(
+        ["url_canon", "url", "warc_ts"])
 
 
 def q_robots_gate(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
-    return core.robots_gated(core.dedup_survivors(ds), cfg).select_columns(
-        ["url_canon", "host", "allowed"])
+    return core.robots_gated(core.dedup_survivors(_slim(sf_dir, cfg)),
+                             cfg).select_columns(["url_canon", "host", "allowed"])
 
 
 def q_politeness_rank(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
-    allowed = core.robots_allowed_only(core.dedup_survivors(ds), cfg)
+    allowed = core.robots_allowed_only(core.dedup_survivors(_slim(sf_dir, cfg)), cfg)
     slim = allowed.select_columns(["host", "url_canon", "warc_ts"])
     return politeness_ranked(slim, cfg.politeness_budget).select_columns(
         ["host", "url_canon", "politeness_rank", "fetch_round"])
 
 
 def q_dispatch_order(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg)
-    allowed = core.robots_allowed_only(core.dedup_survivors(ds), cfg)
-    parts = allowed.unique("partition_id")
-    return dispatch_table(sorted(parts), cfg.seed)
+    """Partition universe from the *unique hosts* of allowed survivors —
+    md5 per host (thousands), never per row (millions)."""
+    from ..functions.canonicalize import md5_partition
+    import numpy as np
+    allowed = core.robots_allowed_only(core.dedup_survivors(_slim(sf_dir, cfg)), cfg)
+    hosts = np.asarray(allowed.unique("host"), dtype=object)
+    parts = sorted(set(md5_partition(hosts, cfg.partition_hex_chars).tolist()))
+    return dispatch_table(parts, cfg.seed)
 
 
 def q_extract_text(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -63,7 +82,7 @@ def q_extract_text(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 
 def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]), cfg, light=True)
+    ds = _slim(sf_dir, cfg)
     n_pages = ds.count()
     survivors = core.dedup_survivors(ds)
     gated = core.robots_gated(survivors, cfg).materialize()

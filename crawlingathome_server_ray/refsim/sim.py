@@ -33,7 +33,9 @@ def canon(url: str) -> str:
         netloc = netloc[:-3]
     elif scheme == "https" and netloc.endswith(":443"):
         netloc = netloc[:-4]
-    path = u.path or "/"
+    # '/' only when path AND query are both empty — matches the vectorized
+    # regex impl and the SQL oracle, where rest = everything after authority
+    path = u.path if (u.path or u.query) else "/"
     q = f"?{u.query}" if u.query else ""
     return f"{scheme}://{netloc}{path}{q}"
 
