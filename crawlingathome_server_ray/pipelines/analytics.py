@@ -218,6 +218,111 @@ SELECT bucket, n_events,
 FROM b ORDER BY bucket"""
 
 
+# ---------------------------------------------------------------- streaming
+SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (streaming-shaped workload over the ordered
+    event log): per user, a new session starts when the gap to the previous
+    event exceeds 1800 s. ``groupby(user_id).map_groups`` with a vectorized
+    pandas body — the partition-by-key + in-order-within-key pattern from
+    the Ray streaming guide."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64")
+        brk = (us.diff().fillna(0) > SESSION_GAP_S * 1_000_000).astype("int64")
+        g = g.assign(session_id=brk.cumsum())
+        out = g.groupby("session_id").agg(
+            n_events=("event_id", "size"),
+            t_start=("ts", "min"), t_end=("ts", "max")).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN date_diff('microsecond',
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+         > {SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS brk
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS t_start, max(ts) AS t_end
+FROM sess GROUP BY user_id, session_id"""
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1-hour windows per user: count + value sum (integer cents
+    for float determinism)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts = b.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        w = pc.divide(ts.cast(pa.int64()), 3600 * 1_000_000)
+        cents = pc.floor(pc.add(pc.multiply(b.column("value"), 100.0),
+                                0.5)).cast(pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "window_id": w,
+                         "value_cents": cents})
+
+    return (ev.map_batches(bucketize, batch_format="pyarrow", batch_size=BATCH)
+            .groupby(["user_id", "window_id"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("value_cents", alias_name="sum_value_cents")))
+
+
+SQL_TUMBLING = """
+SELECT user_id,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_id,
+       count(*) AS n_events,
+       CAST(sum(floor(value * 100.0 + 0.5)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------- large joins
+def q_lineitem_orders_join(sf_dir: str):
+    """Large×large hash join via Ray's native Dataset.join (hash-partitioned
+    on the key): revenue cents per order priority for open orders."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(b.column("l_extendedprice"),
+                                 pc.subtract(1.0, b.column("l_discount")))
+        c = pc.floor(pc.add(pc.multiply(disc_price, 100.0), 0.5)).cast(pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "disc_cents": c})
+
+    li = li.map_batches(cents, batch_format="pyarrow", batch_size=BATCH)
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                       "o_orderstatus"])
+              .filter(expr="o_orderstatus == 'O'")
+              .select_columns(["o_orderkey", "o_orderpriority"]))
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lines"), Sum("disc_cents", alias_name="revenue_cents"))
+
+
+SQL_LINEITEM_ORDERS_JOIN = """
+SELECT o.o_orderpriority, count(*) AS n_lines,
+       CAST(sum(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderpriority"""
+
+
 # ---------------------------------------------------------------- bench workhorse
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-flavoured wide aggregate (integer-cents for determinism)."""
@@ -343,6 +448,9 @@ WHERE substr(md5(url), 1, 1) = '0'"""
 ANALYTICS_QUERIES = {
     "revenue_per_nation": q_revenue_per_nation,
     "shard_number": q_shard_number,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "lineitem_orders_join": q_lineitem_orders_join,
     "completion_counts": q_completion_counts,
     "clients_per_type": q_clients_per_type,
     "leaderboard_topk": q_leaderboard_topk,
@@ -357,6 +465,9 @@ ANALYTICS_QUERIES = {
 ANALYTICS_SQL = {
     "revenue_per_nation": SQL_REVENUE_NATION,
     "shard_number": SQL_SHARD_NUMBER,
+    "events_sessionize": SQL_SESSIONIZE,
+    "events_tumbling": SQL_TUMBLING,
+    "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
     "completion_counts": SQL_COMPLETION,
     "clients_per_type": SQL_CLIENTS,
     "leaderboard_topk": SQL_LEADERBOARD,
