@@ -59,6 +59,7 @@ from ..functions.canonicalize import canonicalize_batch, md5_partition
 from ..functions.extract import fetch_extract_batch
 from ..sources.synth import ensure_frontier
 from ..stages.dispatch import dispatch_order, worker_name
+from ..stages.politeness import politeness_ranked
 from ..stages.robots import allowed_mask
 from ..stages.seen_filter import SeenFilter, make_shards, snapshot_shards
 from ..state.checkpoint import (CLOSED, GPU, LEASED, STAGE_VERSIONS, Manifest)
@@ -133,42 +134,19 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
         pids_f = np.asarray(fetched.column("partition_id"))
         n_ok = np.bincount(pids_f, minlength=n_parts)
 
-        incrs = []
-        for pid in np.unique(pids_in):
-            incrs.append(counter.incr.remote(int(pid), {
-                "urls_seen": int(n_in[pid]),
-                "urls_deduped": int(n_in[pid] - n_new[pid]),
-                "robots_blocked": int(n_new[pid] - n_ok[pid]),
-                "urls_fetched": int(n_ok[pid]),
-            }))
-        ray.get(incrs)  # sync: counters complete before the manifest commits
+        updates = {int(pid): {
+            "urls_seen": int(n_in[pid]),
+            "urls_deduped": int(n_in[pid] - n_new[pid]),
+            "robots_blocked": int(n_new[pid] - n_ok[pid]),
+            "urls_fetched": int(n_ok[pid]),
+        } for pid in np.unique(pids_in)}
+        # sync (one RPC/batch): counters complete before the manifest commits
+        ray.get(counter.incr_many.remote(updates))
 
         out = fetch_extract_batch(fetched, verify=True)
         return out.drop_columns(["html"])
 
     return stage
-
-
-def _politeness_schedule(surv_ds, budget: int):
-    """Slim groupby(host) ranking → (sorted url_hash keys, ranks, rounds)
-    numpy triple for the wave. Broadcast as numpy (zero-copy in the object
-    store; a python dict of 10^5+ entries costs seconds to (de)serialize per
-    task) and joined back via np.searchsorted."""
-    from ..stages.politeness import politeness_ranked
-    slim = surv_ds.select_columns(["url_hash", "host", "url_canon"])
-    ranked = politeness_ranked(slim, budget, order=("url_canon",))
-    hs, rks, rds = [], [], []
-    for b in ranked.select_columns(["url_hash", "politeness_rank",
-                                    "fetch_round"]).iter_batches(
-            batch_format="pyarrow", batch_size=65536):
-        hs.append(np.asarray(b["url_hash"], dtype=np.uint64))
-        rks.append(np.asarray(b["politeness_rank"], dtype=np.int64))
-        rds.append(np.asarray(b["fetch_round"], dtype=np.int64))
-    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
-    rk = np.concatenate(rks) if rks else np.empty(0, np.int64)
-    rd = np.concatenate(rds) if rds else np.empty(0, np.int64)
-    o = np.argsort(h, kind="stable")
-    return h[o], rk[o], rd[o]
 
 
 def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -224,54 +202,49 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                 shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
                               ignore_errors=True)
 
+        # ONE streaming execution per wave: read → seen/robots/extract →
+        # politeness ranking (the groupby(host_bucket) shuffle — html was
+        # dropped before it; only the to-be-written payload moves) → write.
         tp = time.time()
         files = sorted(str(f) for p in wave
                        for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
         ds = ray.data.read_parquet(files)
         surv = ds.map_batches(cpu_stage, batch_format="pyarrow",
                               batch_size=cfg.batch_size,
-                              zero_copy_batch=True).materialize()
-        tp = _mark("cpu_stage", tp)
-
-        sched_ref = ray.put(_politeness_schedule(surv, cfg.politeness_budget))
-        tp = _mark("politeness", tp)
-
-        def attach_schedule(batch: pa.Table) -> pa.Table:
-            keys, ranks, rounds = ray.get(sched_ref)
-            h = np.asarray(batch.column("url_hash"), dtype=np.uint64)
-            pos = np.searchsorted(keys, h)
-            return (batch
-                    .append_column("politeness_rank",
-                                   pa.array(ranks[pos], pa.int64()))
-                    .append_column("fetch_round",
-                                   pa.array(rounds[pos], pa.int64())))
-
-        final = surv.map_batches(attach_schedule, batch_format="pyarrow",
-                                 batch_size=cfg.batch_size)
+                              zero_copy_batch=True)
+        final = politeness_ranked(surv, cfg.politeness_budget,
+                                  order=("url_canon",))
         final.write_parquet(stage1_root, partition_cols=["partition_id"])
-        tp = _mark("stage1_write", tp)
+        tp = _mark("stage1", tp)
 
         # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
         stores = {pid: upload_store(cfg.seed, pid) for pid in wave}
         gpu_pids = [p for p in wave if stores[p] != "postgres"]
         pairs_by_pid: dict[int, int] = {}
         if gpu_pids:
-            pid_arr = pa.array(gpu_pids, pa.int32())
+            # stage 2 reads its input from the stage-1 artifact (≙ the GPU
+            # worker downloading gpu_url, reference main.py:573), pruned to
+            # the needed columns and the non-postgres partitions only
+            s1_files = sorted(
+                str(f) for p in gpu_pids
+                for f in Path(stage1_root, f"partition_id={p}").glob("*.parquet"))
 
             def tokens(batch: pa.Table) -> pa.Table:
-                keep = pc.is_in(batch.column("partition_id"), value_set=pid_arr)
-                b = batch.filter(keep)
-                txt = b.column("text_extracted")
+                txt = batch.column("text_extracted")
                 if isinstance(txt, pa.ChunkedArray):
                     txt = txt.combine_chunks()
                 n = pc.list_value_length(pc.utf8_split_whitespace(txt)).cast(pa.int64())
-                return pa.table({"url_canon": b.column("url_canon"),
-                                 "lang": b.column("lang"),
-                                 "partition_id": b.column("partition_id"),
+                pid_col = np.asarray(batch.column("partition_id")).astype(np.int32)
+                return pa.table({"url_canon": batch.column("url_canon"),
+                                 "lang": batch.column("lang"),
+                                 "partition_id": pa.array(pid_col, pa.int32()),
                                  "n_tokens": n})
 
-            tok = surv.map_batches(tokens, batch_format="pyarrow",
-                                   batch_size=cfg.batch_size).materialize()
+            tok = ray.data.read_parquet(
+                s1_files, columns=["url_canon", "lang", "text_extracted",
+                                   "partition_id"]).map_batches(
+                tokens, batch_format="pyarrow",
+                batch_size=cfg.batch_size).materialize()
             tok.write_parquet(stage2_root, partition_cols=["partition_id"])
             for row in tok.groupby("partition_id").sum("n_tokens").take_all():
                 pairs_by_pid[int(row["partition_id"])] = int(row["sum(n_tokens)"])

@@ -27,6 +27,11 @@ class CounterActor:
         for k, v in counts.items():
             slot[k] += int(v)
 
+    def incr_many(self, by_partition: dict[int, dict[str, int]]) -> None:
+        """One RPC per batch covering all partitions it touched."""
+        for pid, counts in by_partition.items():
+            self.incr(pid, counts)
+
     def snapshot(self, partition_id: int | None = None) -> dict:
         if partition_id is not None:
             return dict(self._c.get(partition_id, {}))
