@@ -202,20 +202,50 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                 shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
                               ignore_errors=True)
 
-        # ONE streaming execution per wave: read → seen/robots/extract →
-        # politeness ranking (the groupby(host_bucket) shuffle — html was
-        # dropped before it; only the to-be-written payload moves) → write.
+        # wave dataflow: (1) read → seen/robots/extract, materialized once;
+        # (2) politeness ranking over the SLIM projection only — the
+        # groupby(host_bucket) shuffle moves ~24 B/URL, never the payload
+        # (SURVEY.md §7 hard-part d); (3) schedule broadcast back as sorted
+        # numpy arrays + searchsorted (at 10^10/wave scale this broadcast
+        # becomes a bucketed hash join on url_hash — same keys, no driver).
         tp = time.time()
         files = sorted(str(f) for p in wave
                        for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
         ds = ray.data.read_parquet(files)
         surv = ds.map_batches(cpu_stage, batch_format="pyarrow",
                               batch_size=cfg.batch_size,
-                              zero_copy_batch=True)
-        final = politeness_ranked(surv, cfg.politeness_budget,
-                                  order=("url_canon",))
+                              zero_copy_batch=True).materialize()
+        tp = _mark("cpu_stage", tp)
+
+        slim = surv.select_columns(["url_hash", "host", "url_canon"])
+        ranked = politeness_ranked(slim, cfg.politeness_budget,
+                                   order=("url_canon",))
+        hs, rks, rds = [], [], []
+        for b in ranked.select_columns(
+                ["url_hash", "politeness_rank", "fetch_round"]).iter_batches(
+                batch_format="pyarrow", batch_size=262144):
+            hs.append(np.asarray(b["url_hash"], dtype=np.uint64))
+            rks.append(np.asarray(b["politeness_rank"], dtype=np.int64))
+            rds.append(np.asarray(b["fetch_round"], dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        o = np.argsort(h, kind="stable")
+        sched_ref = ray.put((h[o],
+                             (np.concatenate(rks) if rks else np.empty(0, np.int64))[o],
+                             (np.concatenate(rds) if rds else np.empty(0, np.int64))[o]))
+        tp = _mark("politeness", tp)
+
+        def attach_schedule(batch: pa.Table) -> pa.Table:
+            keys, ranks, rounds = ray.get(sched_ref)
+            hh = np.asarray(batch.column("url_hash"), dtype=np.uint64)
+            pos = np.searchsorted(keys, hh)
+            return (batch
+                    .append_column("politeness_rank", pa.array(ranks[pos], pa.int64()))
+                    .append_column("fetch_round", pa.array(rounds[pos], pa.int64())))
+
+        final = surv.map_batches(attach_schedule, batch_format="pyarrow",
+                                 batch_size=cfg.batch_size)
         final.write_parquet(stage1_root, partition_cols=["partition_id"])
-        tp = _mark("stage1", tp)
+        tp = _mark("stage1_write", tp)
 
         # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
         stores = {pid: upload_store(cfg.seed, pid) for pid in wave}

@@ -29,6 +29,9 @@ import pandas as pd
 from ray.data import Dataset
 
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
 DEFAULT_ORDER = ("warc_ts", "url_canon")
 N_BUCKETS = 256
 
@@ -36,12 +39,41 @@ N_BUCKETS = 256
 def rank_host_group(g: pd.DataFrame, budget: int,
                     order: tuple[str, ...] = DEFAULT_ORDER) -> pd.DataFrame:
     """Vectorized multi-host ranking: sort by (host, *order), rank =
-    cumcount within host. Works on a group of MANY whole hosts."""
+    cumcount within host. Works on a group of MANY whole hosts (pandas
+    variant, used by tests; the pipeline path is the Arrow-native
+    :func:`rank_table`)."""
     g = g.sort_values(["host", *order], kind="mergesort")
     rank = g.groupby("host", sort=False).cumcount().to_numpy() + 1
     g = g.assign(politeness_rank=rank.astype(np.int64),
                  fetch_round=((rank - 1) // budget).astype(np.int64))
     return g
+
+
+def rank_table(t: pa.Table, budget: int,
+               order: tuple[str, ...] = DEFAULT_ORDER) -> pa.Table:
+    """Arrow-native ranking: sort_indices + boundary diff — no pandas object
+    conversion (which dominated wall time on payload-bearing tables)."""
+    if "host_bucket" in t.schema.names:
+        t = t.drop_columns(["host_bucket"])
+    n = t.num_rows
+    if n == 0:
+        return (t.append_column("politeness_rank", pa.array([], pa.int64()))
+                .append_column("fetch_round", pa.array([], pa.int64())))
+    keys = [("host", "ascending")] + [(c, "ascending") for c in order]
+    t = t.take(pc.sort_indices(t, sort_keys=keys))
+    h = t.column("host")
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    if n > 1:
+        neq = np.asarray(pc.not_equal(h.slice(1), h.slice(0, n - 1)))
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+    else:
+        starts = np.array([0])
+    counts = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts) + 1
+    return (t.append_column("politeness_rank", pa.array(rank, pa.int64()))
+            .append_column("fetch_round",
+                           pa.array((rank - 1) // budget, pa.int64())))
 
 
 def politeness_ranked(ds: Dataset, budget: int,
@@ -51,24 +83,25 @@ def politeness_ranked(ds: Dataset, budget: int,
     The shuffle key is ``host_bucket = hash(host) % 256``, not ``host``:
     whole hosts land in one bucket (ranking stays exact), but Ray's
     per-group python dispatch runs 256× instead of once per host — inside a
-    bucket the ranking is a single vectorized pandas ``groupby.cumcount``.
+    bucket the ranking is one Arrow-native sort + boundary diff
+    (:func:`rank_table`; no per-row python, no pandas conversion).
     This is the skew-aware variant from SURVEY.md §4: a pathological host
     only ever inflates one bucket, which is still one vectorized sort.
+
+    Callers should pass only the slim columns they need ranked — the
+    shuffle moves every byte of every column.
 
     ``order`` is the within-host priority. The flagship pipeline uses
     ``("url_canon",)`` so ranks are invariant to which duplicate row survived
     the streaming bloom filter (survivor arrival order is nondeterministic;
     the canonical URL is not)."""
-    import pyarrow as pa
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         hosts = np.asarray(batch.column("host"))
         b = (pd.util.hash_array(hosts) % N_BUCKETS).astype(np.int32)
         return batch.append_column("host_bucket", pa.array(b, pa.int32()))
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return rank_host_group(g, budget, order).drop(columns=["host_bucket"])
-
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("host_bucket")
-            .map_groups(rank_bucket, batch_format="pandas"))
+            .map_groups(lambda t: rank_table(t, budget, order),
+                        batch_format="pyarrow"))
