@@ -39,9 +39,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     # warm: materialize the synthetic frontier + touch the page cache once
     frontier = ensure_frontier(sf_dir)
-    with open(os.path.join(frontier, "pages.parquet"), "rb") as f:
-        while f.read(1 << 24):
-            pass
+    import glob as _glob
+    for part in _glob.glob(os.path.join(frontier, "pages", "*.parquet")):
+        with open(part, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     times: dict[str, float] = {}
     meta: dict[str, float] = {}
@@ -100,9 +102,11 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
     from crawlingathome_server_ray.pipelines.frontier import run_crawl
     from crawlingathome_server_ray.sources.synth import ensure_frontier
     frontier = ensure_frontier(sf_dir)
-    with open(os.path.join(frontier, "pages.parquet"), "rb") as f:
-        while f.read(1 << 24):
-            pass
+    import glob as _glob
+    for part in _glob.glob(os.path.join(frontier, "pages", "*.parquet")):
+        with open(part, "rb") as f:
+            while f.read(1 << 24):
+                pass
     ckpt = f"/tmp/graft_scaling_ckpt_{num_cpus}"
     shutil.rmtree(ckpt, ignore_errors=True)
     cfg = PipelineConfig(checkpoint_dir=ckpt)

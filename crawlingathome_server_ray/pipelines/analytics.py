@@ -441,7 +441,7 @@ def q_url_sample(sf_dir: str):
 
 def sql_url_sample(pages_path: str) -> str:
     return f"""
-SELECT url, warc_ts FROM read_parquet('{pages_path}')
+SELECT url, warc_ts FROM read_parquet('{pages_path}/*.parquet')
 WHERE substr(md5(url), 1, 1) = '0'"""
 
 

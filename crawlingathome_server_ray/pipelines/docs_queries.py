@@ -273,7 +273,7 @@ def sql_binary_meta(pages_path: str) -> str:
     return f"""
 SELECT url, CAST(octet_length(html) AS BIGINT) AS n_bytes,
        decode(html) LIKE '<html>%' AS looks_html
-FROM read_parquet('{pages_path}')"""
+FROM read_parquet('{pages_path}/*.parquet')"""
 
 
 DOCS_QUERIES = {

@@ -82,7 +82,7 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
     done = os.path.join(staging, "_STAGED")
     if os.path.exists(done):
         return staging
-    pages = os.path.join(ensure_frontier(sf_dir, cfg.seed), "pages.parquet")
+    pages = os.path.join(ensure_frontier(sf_dir, cfg.seed), "pages")
     # a single pages file reads as few blocks by default; force enough input
     # splits that canonicalize+write saturate the cluster
     ds = ray.data.read_parquet(

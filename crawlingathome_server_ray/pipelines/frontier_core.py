@@ -26,7 +26,7 @@ from ..sources.synth import ensure_frontier
 
 
 def pages_path(sf_dir: str) -> str:
-    return os.path.join(ensure_frontier(sf_dir), "pages.parquet")
+    return os.path.join(ensure_frontier(sf_dir), "pages")
 
 
 def pages_ds(sf_dir: str, columns: list[str] | None = None,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..config import DEFAULT_CONFIG
 
-PAGES_SF001 = "/tmp/graft_frontier/sf0.01/pages.parquet"
+PAGES_SF001 = "/tmp/graft_frontier/sf0.01/pages"
 
 # shared CTE chain: canon → dedup → gated → ranked
 _CTE = """
@@ -21,7 +21,7 @@ WITH raw AS (
     lower(regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^#]*)', 1)) AS scheme,
     lower(regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^#]*)', 2)) AS auth0,
     regexp_extract(url, '^([^:/?#]+)://([^/?#]*)([^#]*)', 3) AS rest
-  FROM read_parquet('{pages}')
+  FROM read_parquet('{pages}/*.parquet')
 ), canon AS (
   SELECT url, warc_ts, html, text,
     scheme || '://' || auth || (CASE WHEN rest = '' THEN '/' ELSE rest END) AS url_canon,
@@ -78,7 +78,7 @@ FROM (SELECT DISTINCT strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1
         "extract_text": f"""
 SELECT url, warc_ts,
        substr(decode(html), 16, octet_length(html) - 33) AS text_extracted
-FROM read_parquet('{pages_path}')""",
+FROM read_parquet('{pages_path}/*.parquet')""",
 
         "frontier_counters": cte + f"""
 SELECT (SELECT count(*) FROM canon)  AS n_pages,

@@ -181,31 +181,44 @@ def frontier_dir(sf_dir: str, root: str = "/tmp/graft_frontier") -> str:
     return os.path.join(root, sf_name(sf_dir))
 
 
+_LAYOUT_MARKER = "_DONE_v2"  # v2: pages/ is a DIRECTORY of part files
+
+
 def ensure_frontier(sf_dir: str, seed: int = 42,
                     root: str = "/tmp/graft_frontier") -> str:
     """Idempotently materialize the synthetic frontier for a scale factor.
 
-    Writes pages.parquet (+ seed_list.parquet) under a temp dir and renames
-    atomically, so concurrent callers (Ray pipeline vs DuckDB oracle) always
-    see either nothing or a complete frontier.
+    ``pages/`` is written as multiple part files (a single parquet file
+    reads as ONE Ray task — measured to serialize the whole bootstrap
+    read). Built under a temp dir and renamed atomically, so concurrent
+    callers (Ray pipeline vs DuckDB oracle) always see either nothing or a
+    complete frontier.
     """
+    import shutil
     out = frontier_dir(sf_dir, root)
-    done = os.path.join(out, "_DONE")
+    done = os.path.join(out, _LAYOUT_MARKER)
     if os.path.exists(done):
         return out
+    if os.path.exists(out):  # stale v1 layout
+        shutil.rmtree(out, ignore_errors=True)
     n_rows, n_hosts = SF_SHAPE[sf_name(sf_dir)]
     pages = generate_pages(seed, n_rows, n_hosts)
     seeds = generate_seed_list(seed, pages)
     Path(root).mkdir(parents=True, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root, prefix=".build-")
-    pq.write_table(pages, os.path.join(tmp, "pages.parquet"),
-                   row_group_size=max(8192, n_rows // 32))
+    pdir = Path(tmp, "pages")
+    pdir.mkdir()
+    n_files = max(8, min(64, n_rows // 50_000)) if n_rows >= 16_000 else 4
+    step = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = pages.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, str(pdir / f"part-{i:04d}.parquet"),
+                           row_group_size=max(8192, step // 4))
     pq.write_table(seeds, os.path.join(tmp, "seed_list.parquet"))
-    Path(os.path.join(tmp, "_DONE")).touch()
+    Path(os.path.join(tmp, _LAYOUT_MARKER)).touch()
     try:
         os.rename(tmp, out)
     except OSError:
-        # a concurrent builder won the rename — use theirs
-        import shutil
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -22,7 +22,7 @@ CFG = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_test")
 def crawl_and_sim(ray_session):
     shutil.rmtree(CFG.checkpoint_dir, ignore_errors=True)
     summary = run_crawl(SF, CFG, resume=False)
-    pages = pq.read_table(ensure_frontier(SF, CFG.seed) + "/pages.parquet")
+    pages = pq.read_table(ensure_frontier(SF, CFG.seed) + "/pages")
     sim = simulate(pages, CFG)
     return summary, sim
 
