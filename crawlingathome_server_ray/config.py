@@ -51,8 +51,10 @@ class PipelineConfig:
     checkpoint_dir: str = field(default_factory=lambda: os.environ.get(
         "GRAFT_CKPT_DIR", "/tmp/graft_ckpt"))
 
-    # stage sizing (single-node defaults; on a cluster scale with nodes)
-    batch_size: int = 8192
+    # stage sizing (single-node defaults; on a cluster scale with nodes).
+    # 32k rows ≈ 16 MB/batch for slim frontier rows — large enough that the
+    # per-batch seen-filter/counter RPCs amortize to microseconds/row.
+    batch_size: int = 32768
     read_override_num_blocks: int | None = None
 
 

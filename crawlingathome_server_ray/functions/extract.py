@@ -24,19 +24,12 @@ _SUFFIX = HTML_SUFFIX.decode()
 
 
 def extract_text_array(html: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """binary html → extracted text (vectorized)."""
+    """binary html → extracted text: one negative-stop slice (fixed-length
+    wrapper), single pass over the payload bytes."""
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
     s = html.cast(pa.string())
-    s = pc.replace_substring(s, _PREFIX, "", max_replacements=1)
-    # strip the suffix: slice to len - len(suffix)
-    n = pc.subtract(pc.utf8_length(s), len(_SUFFIX))
-    # pyarrow's slice stop must be scalar; emulate variable stop by reversing
-    s = pc.utf8_reverse(s)
-    s = pc.utf8_replace_slice(s, 0, len(_SUFFIX), "")
-    s = pc.utf8_reverse(s)
-    del n
-    return s
+    return pc.utf8_slice_codeunits(s, len(_PREFIX), -len(_SUFFIX))
 
 
 def fetch_extract_batch(batch: pa.Table, verify: bool = True) -> pa.Table:
