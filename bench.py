@@ -143,6 +143,11 @@ def main() -> None:
                   os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
 
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        # pin each run to exactly n PHYSICAL cores: Ray's service threads
+        # (raylet, object store, driver) ignore num_cpus, so an unpinned
+        # "2-CPU" run actually consumes ~5 cores and fakes poor scaling.
+        # A taskset'd run is the honest single-box analog of an n-core node.
+        pin = shutil.which("taskset") is not None
 
         def sub(n):
             best = None
@@ -150,9 +155,10 @@ def main() -> None:
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n),  # neighbors
                            GRAFT_BENCH_MODE="flagship", GRAFT_SF_DIR=scale_sf)
                 env.pop("RAY_ADDRESS", None)
-                out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                     env=env, capture_output=True, text=True,
-                                     check=True).stdout
+                cmd = ([f"taskset", "-c", f"0-{n - 1}"] if pin else []) + \
+                    [sys.executable, os.path.abspath(__file__)]
+                out = subprocess.run(cmd, env=env, capture_output=True,
+                                     text=True, check=True).stdout
                 r = json.loads(out.strip().splitlines()[-1])
                 if best is None or r["value"] < best["value"]:
                     best = r

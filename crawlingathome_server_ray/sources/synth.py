@@ -43,10 +43,11 @@ SF_SHAPE = {
     "sf0.001": (6_000, 60),
     "sf0.01": (60_000, 500),
     "sf0.1": (600_000, 5_000),
-    # scaling-efficiency input: large enough that per-run fixed costs
+    # scaling-efficiency inputs: large enough that per-run fixed costs
     # (session spin-up, wave barriers, manifest IO) amortize away and the
-    # 8-vs-32-CPU comparison measures the streaming pipeline itself
+    # N-vs-4N comparison measures the streaming pipeline itself
     "sfbench": (2_400_000, 20_000),
+    "sfscale": (9_600_000, 80_000),
 }
 
 _BASE_EPOCH_US = 1_614_556_800_000_000  # 2021-03-01T00:00:00Z
