@@ -129,6 +129,46 @@ class Manifest:
                 t[k] = t.get(k, 0) + v
         return t
 
+    def invalidate_gpu(self, pid: int) -> dict:
+        """GPU worker rejects a bad stage-1 artifact: job back to the CPU
+        pool (≙ reference /api/gpuInvalidDownload, main.py:700-723:
+        ``gpu_url=None, gpu=False, pending=False, cpu_completor=None``)."""
+        cur = self.read(pid)
+        if cur is None or cur["state"] == CLOSED:
+            raise ValueError(f"partition {pid} not in a gpu-invalidatable state")
+        cur["history"].append({"from": cur["state"], "to": OPEN,
+                               "ts": time.time(), "reason": "gpu_invalid"})
+        cur["state"] = OPEN
+        for k in ("gpu_url", "lease_ts", "completor"):
+            cur.pop(k, None)
+        self._write_atomic(self._path(pid), cur)
+        return cur
+
+    def release(self, pid: int) -> dict | None:
+        """Worker disconnect: release a pending lease (≙ reference
+        /api/bye, main.py:726-742)."""
+        cur = self.read(pid)
+        if cur is None or cur["state"] != LEASED:
+            return cur
+        cur["history"].append({"from": LEASED, "to": OPEN, "ts": time.time(),
+                               "reason": "bye"})
+        cur["state"] = OPEN
+        cur.pop("lease_ts", None)
+        cur.pop("completor", None)
+        self._write_atomic(self._path(pid), cur)
+        return cur
+
+    # -- banner (≙ reference admin set-banner, main.py:360-370) ----------
+    def set_banner(self, text: str) -> None:
+        self._write_atomic(self.root / "banner.json", {"banner": text})
+
+    def get_banner(self) -> str:
+        p = self.root / "banner.json"
+        if not p.exists():
+            return ""
+        with open(p) as f:
+            return json.load(f)["banner"]
+
     # -- seen-filter snapshots (committed with the manifest) -------------
     def save_seen_snapshot(self, snapshots: list[dict]) -> None:
         tmp = self.root / ".seen.tmp"

@@ -50,6 +50,33 @@ def test_lease_expiry_reopens(tmp_path):
     assert m.state(5, now=rec["lease_ts"] + 11) == OPEN
 
 
+def test_gpu_invalid_download_resets_to_cpu_pool(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.transition(7, LEASED, completor="cpu")
+    m.transition(7, GPU, gpu_url="files:///x")
+    rec = m.invalidate_gpu(7)
+    assert rec["state"] == OPEN
+    assert "gpu_url" not in rec and "completor" not in rec
+    m.transition(7, LEASED, completor="cpu2")  # re-claimable
+    with pytest.raises(ValueError):
+        m.invalidate_gpu(99)  # unknown partition
+
+
+def test_release_on_bye(tmp_path):
+    m = Manifest(str(tmp_path))
+    m.transition(8, LEASED, completor="w")
+    rec = m.release(8)
+    assert rec["state"] == OPEN and "completor" not in rec
+    assert m.release(99) is None  # unknown → no-op
+
+
+def test_banner_roundtrip(tmp_path):
+    m = Manifest(str(tmp_path))
+    assert m.get_banner() == ""
+    m.set_banner("maintenance at noon")
+    assert m.get_banner() == "maintenance at noon"
+
+
 def test_totals_accumulate(tmp_path):
     m = Manifest(str(tmp_path))
     for pid in (1, 2):
