@@ -54,17 +54,13 @@ def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: full crawl (bootstrap →
     bloom seen-filter → robots → politeness → dispatch waves → two-stage
     close) then return the fetched stage-1 dataset."""
-    import ray.data
-
     from crawlingathome_server_ray.config import PipelineConfig
-    from crawlingathome_server_ray.pipelines.frontier import run_crawl
+    from crawlingathome_server_ray.pipelines.frontier import (
+        read_stage1_with_schedule, run_crawl)
 
     cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_entry")
     summary = run_crawl("/root/testdata/sf0.001", cfg, resume=False)
-    files = []
-    import glob
-    files = sorted(glob.glob(f"{summary['out_root']}/stage1/partition_id=*/*.parquet"))
-    return ray.data.read_parquet(files)
+    return read_stage1_with_schedule(summary["out_root"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

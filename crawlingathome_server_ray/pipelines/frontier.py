@@ -149,6 +149,40 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
     return stage
 
 
+def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
+    """Stage-1 payload joined with its politeness-schedule sidecar by
+    url_hash (broadcast searchsorted; at cluster scale a bucketed hash
+    join on the same key). Used by entry(), tests, and any consumer that
+    needs payload + schedule together."""
+    s1 = Path(out_root, "stage1")
+    sch = Path(out_root, "schedule")
+    sel = (sorted(int(p.name.split("=")[1]) for p in s1.iterdir())
+           if pids is None else pids)
+    files = [str(f) for p in sel
+             for f in sorted(Path(s1, f"partition_id={p}").glob("*.parquet"))]
+    sfiles = [str(f) for p in sel
+              for f in sorted(Path(sch, f"partition_id={p}").glob("*.parquet"))]
+    import pyarrow.parquet as pq
+    st = pq.read_table(sfiles, columns=["url_hash", "politeness_rank",
+                                        "fetch_round"])
+    keys = np.asarray(st.column("url_hash"), dtype=np.uint64)
+    o = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[o],
+                   np.asarray(st.column("politeness_rank"), dtype=np.int64)[o],
+                   np.asarray(st.column("fetch_round"), dtype=np.int64)[o]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, rk, rd = ray.get(ref)
+        pos = np.searchsorted(k, np.asarray(batch.column("url_hash"),
+                                            dtype=np.uint64))
+        return (batch
+                .append_column("politeness_rank", pa.array(rk[pos], pa.int64()))
+                .append_column("fetch_round", pa.array(rd[pos], pa.int64())))
+
+    return ray.data.read_parquet(files).map_batches(attach,
+                                                    batch_format="pyarrow")
+
+
 def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
               out_root: str | None = None, resume: bool = True,
               stop_after: int | None = None,
@@ -183,6 +217,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                     "stage_versions": STAGE_VERSIONS}
     stage1_root = os.path.join(out_root, "stage1")
     stage2_root = os.path.join(out_root, "stage2")
+    schedule_root = os.path.join(out_root, "schedule")
 
     todo = [p for p in order if manifest.state(p) != CLOSED]
     if stop_after is not None:
@@ -198,16 +233,18 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         for pid in wave:
             # claim (≙ reference main.py:549-598 atomic claim dance)
             manifest.transition(pid, LEASED, completor=nicks[pid][0])
-            for root in (stage1_root, stage2_root):
+            for root in (stage1_root, stage2_root, schedule_root):
                 shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
                               ignore_errors=True)
 
-        # wave dataflow: (1) read → seen/robots/extract, materialized once;
-        # (2) politeness ranking over the SLIM projection only — the
-        # groupby(host_bucket) shuffle moves ~24 B/URL, never the payload
-        # (SURVEY.md §7 hard-part d); (3) schedule broadcast back as sorted
-        # numpy arrays + searchsorted (at 10^10/wave scale this broadcast
-        # becomes a bucketed hash join on url_hash — same keys, no driver).
+        # wave dataflow — everything distributed, no driver round-trips:
+        # (1) read → seen/robots/extract, materialized once (two consumers);
+        # (2) payload written as the stage-1 artifact; (3) politeness
+        # ranking over the SLIM projection only — the groupby(host_bucket)
+        # shuffle moves ~32 B/URL, never the payload (SURVEY.md §7
+        # hard-part d) — written as a sidecar ``schedule`` parquet keyed by
+        # url_hash (late materialization: consumers join payload↔schedule
+        # by key only when they need both; see read_stage1_with_schedule).
         tp = time.time()
         files = sorted(str(f) for p in wave
                        for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
@@ -217,35 +254,15 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                               zero_copy_batch=True).materialize()
         tp = _mark("cpu_stage", tp)
 
-        slim = surv.select_columns(["url_hash", "host", "url_canon"])
+        surv.write_parquet(stage1_root, partition_cols=["partition_id"])
+        tp = _mark("stage1_write", tp)
+
+        slim = surv.select_columns(["url_hash", "host", "url_canon",
+                                    "partition_id"])
         ranked = politeness_ranked(slim, cfg.politeness_budget,
                                    order=("url_canon",))
-        hs, rks, rds = [], [], []
-        for b in ranked.select_columns(
-                ["url_hash", "politeness_rank", "fetch_round"]).iter_batches(
-                batch_format="pyarrow", batch_size=262144):
-            hs.append(np.asarray(b["url_hash"], dtype=np.uint64))
-            rks.append(np.asarray(b["politeness_rank"], dtype=np.int64))
-            rds.append(np.asarray(b["fetch_round"], dtype=np.int64))
-        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
-        o = np.argsort(h, kind="stable")
-        sched_ref = ray.put((h[o],
-                             (np.concatenate(rks) if rks else np.empty(0, np.int64))[o],
-                             (np.concatenate(rds) if rds else np.empty(0, np.int64))[o]))
+        ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
         tp = _mark("politeness", tp)
-
-        def attach_schedule(batch: pa.Table) -> pa.Table:
-            keys, ranks, rounds = ray.get(sched_ref)
-            hh = np.asarray(batch.column("url_hash"), dtype=np.uint64)
-            pos = np.searchsorted(keys, hh)
-            return (batch
-                    .append_column("politeness_rank", pa.array(ranks[pos], pa.int64()))
-                    .append_column("fetch_round", pa.array(rounds[pos], pa.int64())))
-
-        final = surv.map_batches(attach_schedule, batch_format="pyarrow",
-                                 batch_size=cfg.batch_size)
-        final.write_parquet(stage1_root, partition_cols=["partition_id"])
-        tp = _mark("stage1_write", tp)
 
         # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
         stores = {pid: upload_store(cfg.seed, pid) for pid in wave}

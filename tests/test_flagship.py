@@ -51,11 +51,12 @@ def test_fetched_url_set_matches(crawl_and_sim):
 def test_politeness_ranks_match(crawl_and_sim):
     summary, sim = crawl_and_sim
     for pid in sim.dispatch:
-        t = _stage1(summary, pid)
+        t = pq.read_table(f"{summary['out_root']}/schedule/partition_id={pid}")
         for c, r, fr in zip(t.column("url_canon").to_pylist(),
                             t.column("politeness_rank").to_pylist(),
                             t.column("fetch_round").to_pylist()):
             assert sim.rank[c] == (r, fr), f"rank mismatch for {c}"
+        assert set(t.column("url_canon").to_pylist()) == sim.fetched[pid]
 
 
 def test_counters_match(crawl_and_sim):
