@@ -134,7 +134,9 @@ def main() -> None:
         # processes at 8 and 32 CPUs (the in-sandbox stand-in for N and 4N
         # nodes). Input is the larger sfbench frontier (2.4M URLs) so fixed
         # per-run costs don't mask the pipeline's scaling.
-        scale_sf = os.environ.get("GRAFT_SCALING_SF", "sfbench")
+        # sfscale (9.6M URLs, ~5 GB) amortizes fixed costs and VM noise;
+        # first call generates it (~8 min, cached under /tmp/graft_frontier)
+        scale_sf = os.environ.get("GRAFT_SCALING_SF", "sfscale")
         # default N=2 → 4N=8: on ONE box the 8→32 pair saturates shared
         # memory bandwidth (real nodes each bring their own), so the low
         # pair is the honest in-sandbox analog of adding nodes. Override

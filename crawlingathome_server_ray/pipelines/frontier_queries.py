@@ -81,6 +81,16 @@ def q_extract_text(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         ["url", "warc_ts", "text_extracted"])
 
 
+def q_url_distinct_hll(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Approximate distinct canonical URLs via mergeable HLL sketches
+    (rows-only for the driver; accuracy asserted vs exact in pytest)."""
+    import pandas as pd
+    from ..functions.sketches import hll_distinct
+    ds = _slim(sf_dir, cfg)
+    est = hll_distinct(ds, "url_canon")
+    return pd.DataFrame({"n_distinct_est": pd.array([int(round(est))], "int64")})
+
+
 def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     ds = _slim(sf_dir, cfg)
     n_pages = ds.count()
