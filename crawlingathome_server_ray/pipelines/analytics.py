@@ -291,6 +291,72 @@ SELECT user_id,
 FROM events GROUP BY 1, 2"""
 
 
+# ---------------------------------------------------------------- as-of join
+def q_events_asof_join(sf_dir: str):
+    """As-of join within the event log: for every 'purchase' event, the most
+    recent 'error' event of the same user at or before it. Realized as the
+    sort-within-bucket + ``pd.merge_asof`` pattern from the Ray guide
+    (groupby(user) → per-group asof; users are whole groups so the asof is
+    exact)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        purchases = g[g.event_type == "purchase"]
+        errors = g[g.event_type == "error"]
+        if len(purchases) == 0:
+            return pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                 "user_id": pd.array([], dtype="int64"),
+                                 "ts": pd.array([], dtype="datetime64[us]"),
+                                 "last_error_ts": pd.array([], dtype="datetime64[us]")})
+        out = pd.merge_asof(purchases[["event_id", "user_id", "ts"]],
+                            errors[["ts"]].rename(columns={"ts": "last_error_ts"}),
+                            left_on="ts", right_on="last_error_ts",
+                            direction="backward")
+        return out
+
+    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(e.ts) FROM events e
+         WHERE e.user_id = p.user_id AND e.event_type = 'error'
+           AND e.ts <= p.ts) AS last_error_ts
+FROM events p WHERE p.event_type = 'purchase'"""
+
+
+# ---------------------------------------------------------------- top-k per group
+def q_top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Top-k documents by n_chars per lang (deterministic tiebreak doc_id):
+    per-batch partial top-k → tiny groupby(lang) final top-k — the shuffle
+    carries ≤ k rows per (lang, block)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True], kind="mergesort")
+                .groupby("lang", sort=False).head(k))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        g = g.assign(lang_rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas", batch_size=BATCH)
+            .groupby("lang").map_groups(final, batch_format="pandas"))
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, lang, n_chars,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY n_chars DESC, doc_id) AS lang_rank
+FROM documents
+QUALIFY lang_rank <= 3"""
+
+
 # ---------------------------------------------------------------- large joins
 def q_lineitem_orders_join(sf_dir: str):
     """Large×large hash join via Ray's native Dataset.join (hash-partitioned
@@ -450,6 +516,8 @@ ANALYTICS_QUERIES = {
     "shard_number": q_shard_number,
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
+    "events_asof_join": q_events_asof_join,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "lineitem_orders_join": q_lineitem_orders_join,
     "completion_counts": q_completion_counts,
     "clients_per_type": q_clients_per_type,
@@ -467,6 +535,8 @@ ANALYTICS_SQL = {
     "shard_number": SQL_SHARD_NUMBER,
     "events_sessionize": SQL_SESSIONIZE,
     "events_tumbling": SQL_TUMBLING,
+    "events_asof_join": SQL_EVENTS_ASOF,
+    "top_docs_per_lang": SQL_TOP_DOCS,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
     "completion_counts": SQL_COMPLETION,
     "clients_per_type": SQL_CLIENTS,
