@@ -54,7 +54,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         times[name] = round(time.time() - t0, 3)
         return out
 
-    ckpt = f"/tmp/graft_bench_ckpt_{num_cpus}"
+    ckpt = f"/dev/shm/graft_bench_ckpt_{num_cpus}"
     shutil.rmtree(ckpt, ignore_errors=True)
     cfg = PipelineConfig(checkpoint_dir=ckpt)
     summary = timed("flagship_crawl",
