@@ -7,9 +7,10 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "urls_per_s": ...}
 
---scaling: runs the same suite in two fresh processes at 8 and 32 CPUs on
-the same input and reports both throughputs + scaling efficiency
-(the sandbox evidence for the north_rule's N→4N cluster criterion).
+--scaling: runs the flagship crawl in two fresh, taskset-pinned
+processes at N and 4N cores (default 2 and 8) on the same input and
+reports both throughputs + scaling efficiency (the sandbox evidence for
+the north_rule's N→4N cluster criterion; see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -131,9 +132,8 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         # scaling evidence: identical flagship job + input, two fresh
-        # processes at 8 and 32 CPUs (the in-sandbox stand-in for N and 4N
-        # nodes). Input is the larger sfbench frontier (2.4M URLs) so fixed
-        # per-run costs don't mask the pipeline's scaling.
+        # pinned processes at N and 4N cores (the in-sandbox stand-in for
+        # N and 4N nodes).
         # sfscale (9.6M URLs, ~5 GB) amortizes fixed costs and VM noise;
         # first call generates it (~8 min, cached under /tmp/graft_frontier)
         scale_sf = os.environ.get("GRAFT_SCALING_SF", "sfscale")
