@@ -149,6 +149,19 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
     return stage
 
 
+def load_seed_hashes(sf_dir: str, cfg: PipelineConfig) -> np.ndarray:
+    """Canonical url_hash set of the crawl seed list (≙ the reference's
+    bootstrap open.json, update_db.py:36): seed-listed URLs get priority 0
+    in the politeness queue. Seed URLs not present in the frontier are
+    simply no-op entries."""
+    import pyarrow.parquet as pq
+    from ..functions.canonicalize import canonicalize_url, md5_hash64
+    path = os.path.join(ensure_frontier(sf_dir, cfg.seed), "seed_list.parquet")
+    urls = pq.read_table(path, columns=["url"]).column("url").to_pylist()
+    canon = np.asarray([canonicalize_url(u) for u in urls], dtype=object)
+    return np.sort(md5_hash64(canon))
+
+
 def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
     """Stage-1 payload joined with its politeness-schedule sidecar by
     url_hash (broadcast searchsorted; at cluster scale a bucketed hash
@@ -213,6 +226,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     shards = make_shards(cfg.n_seen_shards, cfg.seen_bits_per_shard,
                          cfg.seen_num_hashes,
                          snapshots=manifest.load_seen_snapshot() if resume else None)
+    seed_hashes_ref = ray.put(load_seed_hashes(sf_dir, cfg))
     lineage_base = {"input": staging, "seed": cfg.seed,
                     "stage_versions": STAGE_VERSIONS}
     stage1_root = os.path.join(out_root, "stage1")
@@ -259,8 +273,22 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
         slim = surv.select_columns(["url_hash", "host", "url_canon",
                                     "partition_id"])
+
+        def add_priority(batch: pa.Table) -> pa.Table:
+            # seed-listed URLs first within their host (north_rule: dispatch
+            # under "the same seed list + politeness budget")
+            seeds = ray.get(seed_hashes_ref)
+            h = np.asarray(batch.column("url_hash"), dtype=np.uint64)
+            pos = np.searchsorted(seeds, h)
+            is_seed = (pos < len(seeds)) & (seeds[np.minimum(pos, len(seeds) - 1)] == h) \
+                if len(seeds) else np.zeros(len(h), dtype=bool)
+            prio = np.where(is_seed, 0, 1).astype(np.int32)
+            return batch.append_column("priority", pa.array(prio, pa.int32()))
+
+        slim = slim.map_batches(add_priority, batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
         ranked = politeness_ranked(slim, cfg.politeness_budget,
-                                   order=("url_canon",))
+                                   order=("priority", "url_canon"))
         ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
         tp = _mark("politeness", tp)
 

@@ -90,7 +90,8 @@ class SimResult:
 
 
 def simulate(pages: pa.Table, cfg: PipelineConfig,
-             nickname_pool: int = 5, words: list[str] | None = None) -> SimResult:
+             nickname_pool: int = 5, words: list[str] | None = None,
+             seed_urls: list[str] | None = None) -> SimResult:
     from ..stages.dispatch import _DEFAULT_WORDS
     words = words or _DEFAULT_WORDS
     urls = pages.column("url").to_pylist()
@@ -107,6 +108,7 @@ def simulate(pages: pa.Table, cfg: PipelineConfig,
         if c not in part:
             part[c] = (h, t)
 
+    seed_canon = {canon(u) for u in (seed_urls or [])}
     res.dispatch = dispatch_order(sorted(by_partition), cfg.seed)
     n_rows_in_part: dict[int, int] = {}
     for u in urls:
@@ -125,7 +127,9 @@ def simulate(pages: pa.Table, cfg: PipelineConfig,
             else:
                 blocked.add(c)
         for h, cs in by_host.items():
-            for i, c in enumerate(sorted(cs), start=1):   # flagship order: url_canon
+            # flagship order: seed-listed URLs first, then url_canon
+            ordered = sorted(cs, key=lambda c: (0 if c in seed_canon else 1, c))
+            for i, c in enumerate(ordered, start=1):
                 res.rank[c] = (i, (i - 1) // cfg.politeness_budget)
         pairs = sum(len(part[c][1].split()) for c in fetched)
         res.fetched[pid] = fetched

@@ -22,8 +22,11 @@ CFG = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_test")
 def crawl_and_sim(ray_session):
     shutil.rmtree(CFG.checkpoint_dir, ignore_errors=True)
     summary = run_crawl(SF, CFG, resume=False)
-    pages = pq.read_table(ensure_frontier(SF, CFG.seed) + "/pages")
-    sim = simulate(pages, CFG)
+    frontier = ensure_frontier(SF, CFG.seed)
+    pages = pq.read_table(frontier + "/pages")
+    seed_urls = pq.read_table(frontier + "/seed_list.parquet",
+                              columns=["url"]).column("url").to_pylist()
+    sim = simulate(pages, CFG, seed_urls=seed_urls)
     return summary, sim
 
 
@@ -57,6 +60,27 @@ def test_politeness_ranks_match(crawl_and_sim):
                             t.column("fetch_round").to_pylist()):
             assert sim.rank[c] == (r, fr), f"rank mismatch for {c}"
         assert set(t.column("url_canon").to_pylist()) == sim.fetched[pid]
+
+
+def test_seed_list_priority_bites(crawl_and_sim):
+    """The seed list must actually reorder at least one host's queue
+    (otherwise the priority plumbing is dead code)."""
+    summary, sim = crawl_and_sim
+    reordered = 0
+    for pid in sim.dispatch:
+        t = pq.read_table(f"{summary['out_root']}/schedule/partition_id={pid}",
+                          columns=["host", "url_canon", "politeness_rank"])
+        import collections
+        by_host = collections.defaultdict(list)
+        for h, c, r in zip(t.column("host").to_pylist(),
+                           t.column("url_canon").to_pylist(),
+                           t.column("politeness_rank").to_pylist()):
+            by_host[h].append((r, c))
+        for h, rows in by_host.items():
+            ranked_order = [c for _, c in sorted(rows)]
+            if ranked_order != sorted(ranked_order):
+                reordered += 1
+    assert reordered > 0, "no host queue was reordered by the seed list"
 
 
 def test_counters_match(crawl_and_sim):
