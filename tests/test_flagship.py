@@ -122,6 +122,35 @@ def test_postgres_short_circuit(crawl_and_sim):
             assert not rec["gpu_url"].startswith("postgres")
 
 
+def test_dirty_crash_resume(ray_session):
+    """Crash mid-wave: a partition left LEASED with partial stage-1 garbage
+    on disk must be cleaned and reprocessed on resume, converging to the
+    same final state (at-least-once + idempotence, SURVEY.md §2.9 W5)."""
+    import pyarrow as pa
+    cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_dirty")
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    partial = run_crawl(SF, cfg, resume=False, stop_after=3)
+    m = Manifest(partial["out_root"], cfg.lease_timeout_s)
+    victim = next(p for p in partial["dispatch_order"]
+                  if p not in partial["partitions_closed"])
+    # simulate a crash: leased + partial garbage output
+    m.transition(victim, "leased", completor="crashed-worker")
+    import pathlib
+    gdir = pathlib.Path(partial["out_root"], "stage1", f"partition_id={victim}")
+    gdir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table({"junk": [1, 2, 3]}), gdir / "garbage.parquet")
+
+    resumed = run_crawl(SF, cfg, resume=True)
+    full_cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_dirty_ref")
+    shutil.rmtree(full_cfg.checkpoint_dir, ignore_errors=True)
+    full = run_crawl(SF, full_cfg, resume=False)
+    assert resumed["partitions_closed"] == full["partitions_closed"]
+    assert Manifest(resumed["out_root"]).totals() == \
+        Manifest(full["out_root"]).totals()
+    # the garbage file must be gone from the victim's rewritten output
+    assert not (gdir / "garbage.parquet").exists()
+
+
 def test_kill_and_resume_identical(ray_session):
     cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_resume")
     shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
