@@ -34,6 +34,7 @@ class PipelineConfig:
     n_seen_shards: int = 8
     seen_bits_per_shard: int = 1 << 23  # 1 MiB/shard; FP<1% at ~1M keys/shard
     seen_num_hashes: int = 7
+    seen_filter_kind: str = "bloom"  # "cuckoo" = exact + supports delete
 
     # lease / reap semantics (reference config.py:8, main.py:750)
     lease_timeout_s: int = 7200

@@ -225,7 +225,8 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     counter = CounterActor.remote()
     shards = make_shards(cfg.n_seen_shards, cfg.seen_bits_per_shard,
                          cfg.seen_num_hashes,
-                         snapshots=manifest.load_seen_snapshot() if resume else None)
+                         snapshots=manifest.load_seen_snapshot() if resume else None,
+                         kind=cfg.seen_filter_kind)
     seed_hashes_ref = ray.put(load_seed_hashes(sf_dir, cfg))
     lineage_base = {"input": staging, "seed": cfg.seed,
                     "stage_versions": STAGE_VERSIONS}

@@ -92,32 +92,153 @@ class BloomFilter:
         return f
 
 
+class CuckooFilter:
+    """Cuckoo filter shard (Fan et al. 2014): 4-slot buckets, 16-bit
+    fingerprints, partial-key cuckoo hashing — supports DELETE, which the
+    bloom variant cannot (needed when a crawl re-opens URLs, e.g. after a
+    ``gpuInvalidDownload`` reset). ~μs/op python-loop inserts; the bloom
+    shard remains the default for pure-append workloads."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets_pow2: int = 1 << 16, slots: int = 4):
+        assert n_buckets_pow2 & (n_buckets_pow2 - 1) == 0
+        self.nb = n_buckets_pow2
+        self.slots = slots
+        self.table = np.zeros((self.nb, slots), dtype=np.uint16)  # 0 = empty
+        self.n_added = 0
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty marker
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.nb - 1)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            alt = _splitmix64(fp.astype(np.uint64))
+        return ((i1.astype(np.uint64) ^ alt) & np.uint64(self.nb - 1)).astype(np.int64)
+
+    def _contains_one(self, i1: int, i2: int, fp: int) -> bool:
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def _insert_one(self, i1: int, i2: int, fp: int) -> bool:
+        rng_state = fp
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empties = np.flatnonzero(row == 0)
+            if len(empties):
+                row[empties[0]] = fp
+                return True
+        idx = i1
+        for _ in range(self.MAX_KICKS):
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % self.slots
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            alt = int(_splitmix64(np.array([fp], dtype=np.uint64))[0])
+            idx = (idx ^ alt) & (self.nb - 1)
+            row = self.table[idx]
+            empties = np.flatnonzero(row == 0)
+            if len(empties):
+                row[empties[0]] = fp
+                return True
+        raise RuntimeError("cuckoo filter full — resize the shard")
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Same contract as BloomFilter.check_and_add (first-occurrence-wins
+        within the call)."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        fp = self._fp(uniq)
+        i1 = self._i1(uniq)
+        i2 = self._i2(i1, fp)
+        out = np.zeros(len(hashes), dtype=bool)
+        for k in range(len(uniq)):
+            if not self._contains_one(int(i1[k]), int(i2[k]), int(fp[k])):
+                self._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+                self.n_added += 1
+                out[first_idx[k]] = True
+        return out
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Remove entries (returns deleted mask) — re-opens URLs for re-crawl."""
+        fp = self._fp(hashes.astype(np.uint64))
+        i1 = self._i1(hashes.astype(np.uint64))
+        i2 = self._i2(i1, fp)
+        out = np.zeros(len(hashes), dtype=bool)
+        for k in range(len(hashes)):
+            for idx in (int(i1[k]), int(i2[k])):
+                row = self.table[idx]
+                pos = np.flatnonzero(row == fp[k])
+                if len(pos):
+                    row[pos[0]] = 0
+                    self.n_added -= 1
+                    out[k] = True
+                    break
+        return out
+
+    def __contains__(self, h: int) -> bool:
+        arr = np.array([h], dtype=np.uint64)
+        fp = self._fp(arr)
+        i1 = self._i1(arr)
+        i2 = self._i2(i1, fp)
+        return self._contains_one(int(i1[0]), int(i2[0]), int(fp[0]))
+
+    def snapshot(self) -> dict:
+        return {"kind": "cuckoo", "nb": self.nb, "slots": self.slots,
+                "n_added": self.n_added, "table": self.table.tobytes()}
+
+    @classmethod
+    def restore(cls, snap: dict) -> "CuckooFilter":
+        f = cls(snap["nb"], snap["slots"])
+        f.table = np.frombuffer(snap["table"], dtype=np.uint16).reshape(
+            snap["nb"], snap["slots"]).copy()
+        f.n_added = snap["n_added"]
+        return f
+
+
 @ray.remote(num_cpus=0)
 class BloomShardActor:
     # num_cpus=0: the shard does sub-millisecond vectorized bit ops per RPC;
     # reserving CPU slots for 8+ shards would starve the map stages on small
     # nodes (observed deadlock at num_cpus=4 with leftover actors).
-    """One bloom shard (≙ one slice of the reference's global ``seen`` set)."""
+    """One seen-set shard (≙ one slice of the reference's global ``seen``
+    set, update_db.py:98-105): bloom (default) or cuckoo (exact, supports
+    delete for URL re-opens)."""
 
-    def __init__(self, n_bits: int, n_hashes: int):
-        self.filter = BloomFilter(n_bits, n_hashes)
+    def __init__(self, n_bits: int, n_hashes: int, kind: str = "bloom"):
+        self.kind = kind
+        if kind == "cuckoo":
+            # size cuckoo capacity ≈ bloom bit budget / 16 bits per slot
+            self.filter = CuckooFilter(max(1 << 10, n_bits // 64), 4)
+        else:
+            self.filter = BloomFilter(n_bits, n_hashes)
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         return self.filter.check_and_add(hashes)
+
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        if not isinstance(self.filter, CuckooFilter):
+            raise NotImplementedError("delete requires the cuckoo variant")
+        return self.filter.delete(hashes)
 
     def snapshot(self) -> dict:
         return self.filter.snapshot()
 
     def restore(self, snap: dict) -> None:
-        self.filter = BloomFilter.restore(snap)
+        cls = CuckooFilter if snap.get("kind") == "cuckoo" else BloomFilter
+        self.filter = cls.restore(snap)
 
     def stats(self) -> dict:
-        return {"n_added": self.filter.n_added, "m": self.filter.m}
+        return {"n_added": self.filter.n_added, "kind": self.kind}
 
 
 def make_shards(n_shards: int, n_bits: int, n_hashes: int,
-                snapshots: list[dict] | None = None):
-    shards = [BloomShardActor.remote(n_bits, n_hashes) for _ in range(n_shards)]
+                snapshots: list[dict] | None = None, kind: str = "bloom"):
+    shards = [BloomShardActor.remote(n_bits, n_hashes, kind)
+              for _ in range(n_shards)]
     if snapshots:
         ray.get([s.restore.remote(snap) for s, snap in zip(shards, snapshots)])
     return shards

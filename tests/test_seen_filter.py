@@ -42,6 +42,49 @@ def test_snapshot_roundtrip():
     assert g.n_added == f.n_added
 
 
+def test_cuckoo_no_false_negatives_and_delete():
+    from crawlingathome_server_ray.stages.seen_filter import CuckooFilter
+    f = CuckooFilter(1 << 14, 4)
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**63, size=20_000).astype(np.uint64)
+    first = f.check_and_add(keys)
+    assert first.sum() == len(np.unique(keys))
+    assert not f.check_and_add(keys).any()
+    # delete re-opens
+    victims = np.unique(keys)[:500]
+    deleted = f.delete(victims)
+    assert deleted.all()
+    again = f.check_and_add(victims)
+    assert again.all(), "deleted keys must be re-addable as new"
+
+
+def test_cuckoo_first_occurrence_and_snapshot():
+    from crawlingathome_server_ray.stages.seen_filter import CuckooFilter
+    f = CuckooFilter(1 << 10, 4)
+    keys = np.array([5, 7, 5, 9, 7, 5], dtype=np.uint64)
+    assert f.check_and_add(keys).tolist() == [True, True, False, True, False, False]
+    g = CuckooFilter.restore(f.snapshot())
+    assert not g.check_and_add(np.array([5, 7, 9], dtype=np.uint64)).any()
+    assert 5 in g and 12345 not in g
+
+
+def test_crawl_with_cuckoo_filter(ray_session):
+    """Flagship produces identical counters with the cuckoo variant."""
+    import shutil
+    from conftest import SF
+    from crawlingathome_server_ray.config import PipelineConfig
+    from crawlingathome_server_ray.pipelines.frontier import run_crawl
+    from crawlingathome_server_ray.state.checkpoint import Manifest
+    a = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_cuckoo",
+                       seen_filter_kind="cuckoo")
+    shutil.rmtree(a.checkpoint_dir, ignore_errors=True)
+    sa = run_crawl(SF, a, resume=False, stop_after=4)
+    b = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_bloomref")
+    shutil.rmtree(b.checkpoint_dir, ignore_errors=True)
+    sb = run_crawl(SF, b, resume=False, stop_after=4)
+    assert Manifest(sa["out_root"]).totals() == Manifest(sb["out_root"]).totals()
+
+
 def test_indices_deterministic():
     h = np.array([123456789], dtype=np.uint64)
     a = _bloom_indices(h, 7, 1 << 20)
