@@ -70,11 +70,17 @@ def main(argv=None) -> None:
         print(json.dumps({"out_root": out_root, "states": states,
                           "totals": m.totals()}))
     elif args.cmd == "reopen":
-        # force the partition back to open: next resume reprocesses it
+        # force the partition back to open: next resume reprocesses it.
+        # NOTE: the URL-seen snapshot still contains the partition's URLs,
+        # so with the bloom filter a re-crawl dedups them all (fetched=0,
+        # counted as urls_deduped); use seen_filter_kind="cuckoo" and a
+        # delete pass when true re-fetch semantics are needed.
         path = m._path(args.partition)
         if path.exists():
             path.unlink()
-        print(json.dumps({"reopened": args.partition}))
+        print(json.dumps({"reopened": args.partition,
+                          "note": "seen-set entries persist; bloom re-crawl "
+                                  "will dedup this partition's URLs"}))
     elif args.cmd == "ban":
         from .state.checkpoint import CLOSED, LEASED
         if m.state(args.partition) != CLOSED:

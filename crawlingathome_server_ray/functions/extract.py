@@ -36,12 +36,13 @@ def fetch_extract_batch(batch: pa.Table, verify: bool = True) -> pa.Table:
     """map_batches body: add ``text_extracted``; when ``verify``, fail loudly
     on any row where extraction is not byte-identical to ``text``."""
     extracted = extract_text_array(batch.column("html"))
-    if verify:
-        eq = pc.all(pc.equal(extracted, batch.column("text").combine_chunks()
-                             if isinstance(batch.column("text"), pa.ChunkedArray)
-                             else batch.column("text")))
-        if not eq.as_py():
-            bad = pc.not_equal(extracted, batch.column("text"))
+    if verify and batch.num_rows:  # pc.all of an empty array is null, not True
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        eq = pc.all(pc.equal(extracted, txt))
+        if eq.as_py() is not True:
+            bad = pc.not_equal(extracted, txt)
             urls = batch.filter(bad).column("url").to_pylist()[:3]
             raise AssertionError(f"extract(html) != text for urls {urls}")
     return batch.append_column("text_extracted", extracted)

@@ -176,8 +176,13 @@ def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
     sfiles = [str(f) for p in sel
               for f in sorted(Path(sch, f"partition_id={p}").glob("*.parquet"))]
     import pyarrow.parquet as pq
-    st = pq.read_table(sfiles, columns=["url_hash", "politeness_rank",
-                                        "fetch_round"])
+    if not sfiles:
+        st = pa.table({"url_hash": pa.array([], pa.uint64()),
+                       "politeness_rank": pa.array([], pa.int64()),
+                       "fetch_round": pa.array([], pa.int64())})
+    else:
+        st = pq.read_table(sfiles, columns=["url_hash", "politeness_rank",
+                                            "fetch_round"])
     keys = np.asarray(st.column("url_hash"), dtype=np.uint64)
     o = np.argsort(keys, kind="stable")
     ref = ray.put((keys[o],
@@ -300,11 +305,13 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         if gpu_pids:
             # stage 2 reads its input from the stage-1 artifact (≙ the GPU
             # worker downloading gpu_url, reference main.py:573), pruned to
-            # the needed columns and the non-postgres partitions only
+            # the needed columns and the non-postgres partitions only.
+            # A partition may legitimately have ZERO fetched rows (e.g. a
+            # re-opened partition whose URLs are all in the seen set) —
+            # then no stage-1 dir exists for it and read_parquet([]) errors.
             s1_files = sorted(
                 str(f) for p in gpu_pids
                 for f in Path(stage1_root, f"partition_id={p}").glob("*.parquet"))
-
             def tokens(batch: pa.Table) -> pa.Table:
                 txt = batch.column("text_extracted")
                 if isinstance(txt, pa.ChunkedArray):
@@ -316,14 +323,15 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                  "partition_id": pa.array(pid_col, pa.int32()),
                                  "n_tokens": n})
 
-            tok = ray.data.read_parquet(
-                s1_files, columns=["url_canon", "lang", "text_extracted",
-                                   "partition_id"]).map_batches(
-                tokens, batch_format="pyarrow",
-                batch_size=cfg.batch_size).materialize()
-            tok.write_parquet(stage2_root, partition_cols=["partition_id"])
-            for row in tok.groupby("partition_id").sum("n_tokens").take_all():
-                pairs_by_pid[int(row["partition_id"])] = int(row["sum(n_tokens)"])
+            if s1_files:
+                tok = ray.data.read_parquet(
+                    s1_files, columns=["url_canon", "lang", "text_extracted",
+                                       "partition_id"]).map_batches(
+                    tokens, batch_format="pyarrow",
+                    batch_size=cfg.batch_size).materialize()
+                tok.write_parquet(stage2_root, partition_cols=["partition_id"])
+                for row in tok.groupby("partition_id").sum("n_tokens").take_all():
+                    pairs_by_pid[int(row["partition_id"])] = int(row["sum(n_tokens)"])
             tp = _mark("gpu_stage", tp)
 
         # ---- per-partition close (state machine + counters + lineage) ----

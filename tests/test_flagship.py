@@ -151,6 +151,25 @@ def test_dirty_crash_resume(ray_session):
     assert not (gdir / "garbage.parquet").exists()
 
 
+def test_reopen_then_resume_dedups_not_crashes(ray_session):
+    """Admin-reopening a CLOSED partition and resuming must converge: the
+    partition's URLs are still in the persistent seen set, so the re-crawl
+    legitimately fetches ZERO rows — which must not crash the empty-batch
+    extract/write/gpu path (regression: found live via the CLI)."""
+    cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_reopen")
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    full = run_crawl(SF, cfg, resume=False)
+    victim = full["partitions_closed"][0]
+    m = Manifest(full["out_root"], cfg.lease_timeout_s)
+    m._path(victim).unlink()  # ≙ cli reopen
+    resumed = run_crawl(SF, cfg, resume=True)
+    assert resumed["partitions_closed"] == full["partitions_closed"]
+    rec = Manifest(resumed["out_root"]).read(victim)
+    assert rec["state"] == "closed"
+    assert rec["counters"]["urls_fetched"] == 0
+    assert rec["counters"]["urls_deduped"] == rec["counters"]["urls_seen"]
+
+
 def test_kill_and_resume_identical(ray_session):
     cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_resume")
     shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
