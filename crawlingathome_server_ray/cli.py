@@ -31,13 +31,16 @@ def _manifest(args):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="crawlingathome_server_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "resume", "status", "reopen", "ban", "leaderboard"):
+    for name in ("run", "resume", "status", "reopen", "ban", "leaderboard",
+                 "validate-worker"):
         s = sub.add_parser(name)
         s.add_argument("--sf", default="/root/testdata/sf0.001")
         s.add_argument("--ckpt", default=os.environ.get("GRAFT_CKPT_DIR",
                                                         "/tmp/graft_ckpt"))
         if name in ("reopen", "ban"):
             s.add_argument("--partition", type=int, required=True)
+        if name == "validate-worker":
+            s.add_argument("--token", required=True)
         if name in ("run", "resume"):
             s.add_argument("--wave-size", type=int, default=8)
             s.add_argument("--num-cpus", type=int,
@@ -89,15 +92,17 @@ def main(argv=None) -> None:
                          counters={}, lineage={"banned": True})
         print(json.dumps({"banned": args.partition}))
     elif args.cmd == "leaderboard":
-        lb: dict[str, dict] = {}
-        for r in m.all().values():
-            if r["state"] != "closed":
-                continue
-            e = lb.setdefault(r.get("completor") or "?", {"jobs": 0, "pairs": 0})
-            e["jobs"] += 1
-            e["pairs"] += r.get("pairs_scraped") or 0
+        # jobs/pairs accumulation (≙ reference main.py:428-435) + the
+        # per-worker rate jobs/(last−first)×3600 (templates/worker.html:37)
+        lb = {comp: {"jobs": e["jobs"], "pairs": e["pairs"],
+                     "efficiency_jobs_per_h": e["efficiency_jobs_per_h"]}
+              for comp, e in m.worker_stats().items()}
         print(json.dumps(dict(sorted(lb.items(),
                                      key=lambda kv: -kv[1]["jobs"]))))
+    elif args.cmd == "validate-worker":
+        # ≙ reference /api/validateWorker (main.py:515-522)
+        print(json.dumps({"token": args.token,
+                          "valid": m.validate_worker(args.token)}))
 
 
 if __name__ == "__main__":

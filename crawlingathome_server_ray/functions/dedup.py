@@ -1,23 +1,31 @@
 """Deduplication suite for the training-data pipeline layer (graft brief):
 exact (hash + first-wins), MinHash+LSH, SimHash, n-gram Jaccard
-verification, and embedding-cosine near-dup. Per-batch sketching is
-numpy-vectorized; candidate generation uses the classic
-explode→groupby(band) shuffle; final clustering is union-find over the
-(small) verified candidate-pair set.
+verification, and embedding-cosine near-dup.
 
-Determinism: every hash is a pure function of content (md5 / splitmix64
-derivatives), so results are identical at any parallelism.
+Sketching is vectorized across the whole batch, not per document: one Arrow
+``utf8_split_whitespace`` + one ``pd.util.hash_array`` call tokenizes and
+hashes every token of every doc in the batch (str.split() parity asserted in
+tests), then numpy segment ops (``minimum.reduceat`` / ``add.reduceat`` over
+per-doc offsets) produce all signatures at once. Candidate generation uses
+the classic explode→groupby(band-bucket) shuffle; final clustering is
+union-find over the (small) verified candidate-pair set only — the driver
+never sees signatures or texts (pipelines/docs_queries.py).
+
+Determinism: every hash is a pure function of content (siphash with
+pandas' fixed key / splitmix64 derivatives), so results are identical at
+any parallelism.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------- hashing
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def _splitmix(x: np.ndarray) -> np.ndarray:
@@ -34,41 +42,127 @@ def hash_tokens(tokens: list[str]) -> np.ndarray:
     return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
 
 
+def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch tokenization + hashing: (flat uint64 token hashes,
+    int64 offsets[n+1] — doc i's tokens are flat[offs[i]:offs[i+1]]).
+
+    Arrow's split emits empty strings at leading/trailing whitespace;
+    they are dropped so tokens match Python ``str.split()`` exactly
+    (→ per-doc hashes equal ``hash_tokens(text.split())``).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(list(texts), pa.string())
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(1, np.int64)
+    lists = pc.utf8_split_whitespace(texts)
+    flat = lists.flatten()
+    raw_counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), raw_counts)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    doc_of = doc_of[keep]
+    flat_obj = np.asarray(flat, dtype=object)[keep]
+    h = (pd.util.hash_array(flat_obj).astype(np.uint64)
+         if len(flat_obj) else np.zeros(0, np.uint64))
+    counts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return h, offs
+
+
+def batch_shingle_hashes(h: np.ndarray, offs: np.ndarray,
+                         k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-token shingle hashes, vectorized over the flat token-hash
+    array: shingle(i) = iterated splitmix-fold of h[i..i+k-1] within the
+    doc. Docs with 0 < t < k tokens get ONE shingle folding all t hashes
+    (mirrors ``shingles()``'s short-doc rule); empty docs get none.
+    Returns (flat shingle hashes, int64 offsets[n+1])."""
+    T = len(h)
+    n = len(offs) - 1
+    if T == 0:
+        return np.zeros(0, np.uint64), np.zeros(n + 1, np.int64)
+    counts = np.diff(offs)
+    ends_flat = np.repeat(offs[1:], counts)
+    starts_flat = np.repeat(offs[:-1], counts)
+    pos = np.arange(T, dtype=np.int64)
+    acc = h.copy()
+    for j in range(1, k):
+        take = pos + j
+        valid = take < ends_flat
+        nxt = np.where(valid, h[np.minimum(take, T - 1)], np.uint64(0))
+        acc = np.where(valid, _splitmix(acc ^ nxt), acc)
+    tlen = ends_flat - starts_flat
+    valid_sh = (pos + k <= ends_flat) | ((pos == starts_flat) & (tlen < k))
+    sh = acc[valid_sh]
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)[valid_sh]
+    scounts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    soffs = np.concatenate(([0], np.cumsum(scounts)))
+    return sh, soffs
+
+
+# ---------------------------------------------------------------- MinHash
+def minhash_signatures(texts, n_perm: int = 64, k: int = 3,
+                       perm_chunk: int = 8) -> np.ndarray:
+    """(n_docs, n_perm) uint64 signature matrix for a whole batch:
+    sig[d, p] = min over d's shingles of splitmix(shingle + p·GOLD).
+    Permutations are processed in chunks so the (n_shingles × chunk) grid
+    stays tens of MB regardless of batch size. Shingle-less docs get the
+    all-max signature (they only ever collide with each other)."""
+    sh, soffs = batch_shingle_hashes(*batch_token_hashes(texts), k=k)
+    n = len(soffs) - 1
+    sig = np.full((n, n_perm), _U64_MAX, dtype=np.uint64)
+    if len(sh) == 0:
+        return sig
+    starts = soffs[:-1]
+    empty = np.diff(soffs) == 0
+    safe_starts = np.minimum(starts, len(sh) - 1)
+    for p0 in range(0, n_perm, perm_chunk):
+        ip = np.arange(p0, min(p0 + perm_chunk, n_perm), dtype=np.uint64)
+        grid = _splitmix(sh[:, None] + ip[None, :] * _GOLD)
+        sig[:, p0:p0 + len(ip)] = np.minimum.reduceat(grid, safe_starts, axis=0)
+    sig[empty] = _U64_MAX
+    return sig
+
+
+def minhash_signature(text: str, n_perm: int = 64, k: int = 3) -> np.ndarray:
+    """Scalar twin of :func:`minhash_signatures` (tests/refsim)."""
+    return minhash_signatures([text], n_perm=n_perm, k=k)[0]
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 — splitmix-fold of each band's r rows (the b·r LSH
+    scheme; numeric fold replaces the old per-band hashlib.md5 loop)."""
+    n, n_perm = sig.shape
+    r = n_perm // bands
+    g = sig.reshape(n, bands, r)
+    acc = g[:, :, 0].copy()
+    for j in range(1, r):
+        acc = _splitmix(acc ^ g[:, :, j])
+    return acc
+
+
+def minhash_batch(df: pd.DataFrame, n_perm: int = 64, k: int = 3,
+                  bands: int = 16) -> pd.DataFrame:
+    """map_batches body: exploded (band_id, band_hash, doc_id) rows for the
+    LSH groupby — 16 B/row through the shuffle, texts never move."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    sig = minhash_signatures(df["text"].to_numpy(dtype=object),
+                             n_perm=n_perm, k=k)
+    bh = band_hashes(sig, bands)
+    n = len(ids)
+    return pd.DataFrame({
+        "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
+        "band_hash": bh.reshape(-1),
+        "doc_id": np.repeat(ids, bands),
+    })
+
+
 def shingles(text: str, k: int = 3) -> list[str]:
     toks = text.split()
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-
-
-# ---------------------------------------------------------------- MinHash
-def minhash_signature(text: str, n_perm: int = 64, k: int = 3) -> np.ndarray:
-    """n_perm-wide signature: min over shingle hashes of splitmix(h + i)."""
-    sh = hash_tokens(shingles(text, k))
-    if len(sh) == 0:
-        return np.full(n_perm, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    i = np.arange(n_perm, dtype=np.uint64)[None, :]
-    with np.errstate(over="ignore"):
-        grid = _splitmix(sh[:, None] + i * _GOLD)      # (n_shingles, n_perm)
-    return grid.min(axis=0)
-
-
-def minhash_batch(df: pd.DataFrame, n_perm: int = 64, k: int = 3,
-                  bands: int = 16) -> pd.DataFrame:
-    """Per-doc signature → exploded (band_id, band_hash, doc_id) rows for the
-    LSH groupby. rows_per_band = n_perm // bands (= r in the b·r scheme)."""
-    r = n_perm // bands
-    out_doc, out_band, out_hash = [], [], []
-    for doc_id, text in zip(df["doc_id"], df["text"]):
-        sig = minhash_signature(text, n_perm, k)
-        for b in range(bands):
-            h = hashlib.md5(sig[b * r:(b + 1) * r].tobytes()).hexdigest()[:16]
-            out_doc.append(doc_id)
-            out_band.append(b)
-            out_hash.append(h)
-    return pd.DataFrame({"band_id": np.asarray(out_band, dtype=np.int32),
-                         "band_hash": out_hash,
-                         "doc_id": np.asarray(out_doc, dtype=np.int64)})
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -79,24 +173,47 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 # ---------------------------------------------------------------- SimHash
-def simhash(text: str) -> np.uint64:
-    """64-bit simhash over token hashes (unweighted)."""
-    h = hash_tokens(text.split())
+def simhash_many(texts) -> np.ndarray:
+    """Vectorized 64-bit simhash for a whole batch: one unpackbits over the
+    flat token-hash bytes + one add.reduceat per doc-segment. Bit j set iff
+    strictly more than half of the doc's token hashes have bit j set
+    (ties → 0, matching the old per-doc scalar)."""
+    h, offs = batch_token_hashes(texts)
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.uint64)
     if len(h) == 0:
-        return np.uint64(0)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    vote = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if vote[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
+        return out
+    counts = np.diff(offs)
+    nonempty = counts > 0
+    # chunk doc ranges so the (tokens × 64) bit matrix stays ≤ ~32 MB
+    step = max(1, int(250_000 / max(1.0, len(h) / max(1, n))))
+    for d0 in range(0, n, step):
+        d1 = min(n, d0 + step)
+        lo, hi = offs[d0], offs[d1]
+        if hi == lo:
+            continue
+        bits = np.unpackbits(h[lo:hi].view(np.uint8).reshape(-1, 8),
+                             axis=1, bitorder="little").astype(np.uint16)
+        starts = np.minimum(offs[d0:d1] - lo, hi - lo - 1)
+        cnt = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
+        vote = 2 * cnt > counts[d0:d1, None]
+        packed = np.packbits(vote, axis=1, bitorder="little")
+        vals = packed.view(np.uint64).reshape(-1)
+        seg = nonempty[d0:d1]
+        out[d0:d1] = np.where(seg, vals, np.uint64(0))
     return out
+
+
+def simhash(text: str) -> np.uint64:
+    """Scalar twin of :func:`simhash_many` (tests verify pair output
+    against this)."""
+    return simhash_many([text])[0]
 
 
 def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                         "simhash": df["text"].map(simhash).astype("uint64")})
+                         "simhash": simhash_many(
+                             df["text"].to_numpy(dtype=object))})
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -116,6 +233,56 @@ def simhash_chunks(h: np.ndarray, n_chunks: int = 4) -> np.ndarray:
                      for i in range(n_chunks)], axis=1)
 
 
+# ---------------------------------------------------------------- pairs
+def pairs_from_groups(keys: list[np.ndarray], ids: np.ndarray,
+                      payload: np.ndarray | None = None,
+                      max_group: int = 1024):
+    """Within-bucket candidate-pair expansion, shared by the minhash and
+    simhash map_groups bodies: group rows by the composite ``keys``, emit
+    all (a<b) id pairs of every group with ≥2 members (np.triu_indices per
+    multi-group — the loop runs only over multi-groups, which are rare).
+
+    ``payload`` (e.g. simhash values) is returned aligned with the pairs as
+    (pay_a, pay_b). Groups larger than ``max_group`` are truncated to their
+    first ``max_group`` members by id order — a documented skew guard: a
+    degenerate bucket (e.g. all-empty docs) would otherwise emit O(n²)
+    pairs; truncation keeps ≥ max_group−1 edges into the group, which is
+    enough to keep it one connected component."""
+    order = np.lexsort([ids] + list(keys))
+    ids_s = ids[order]
+    pay_s = payload[order] if payload is not None else None
+    sk = [k[order] for k in keys]
+    m = len(ids_s)
+    if m < 2:
+        z = np.zeros(0, np.int64)
+        return (z, z, z, z) if payload is not None else (z, z)
+    neq = np.zeros(m - 1, dtype=bool)
+    for k in sk:
+        neq |= k[1:] != k[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(neq) + 1, [m]))
+    out_a, out_b, pa_, pb_ = [], [], [], []
+    for gi in range(len(starts) - 1):
+        s, e = starts[gi], starts[gi + 1]
+        if e - s < 2:
+            continue
+        e = min(e, s + max_group)
+        gids = ids_s[s:e]
+        ia, ib = np.triu_indices(len(gids), k=1)
+        out_a.append(gids[ia])
+        out_b.append(gids[ib])
+        if pay_s is not None:
+            pa_.append(pay_s[s:e][ia])
+            pb_.append(pay_s[s:e][ib])
+    if not out_a:
+        z = np.zeros(0, np.int64)
+        return (z, z, z, z) if payload is not None else (z, z)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    if payload is not None:
+        return a, b, np.concatenate(pa_), np.concatenate(pb_)
+    return a, b
+
+
 # ---------------------------------------------------------------- union-find
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """min-label union-find; returns {doc_id: cluster_min_id}."""
@@ -132,6 +299,7 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
+    # two passes: the min label must win even when unions arrive out of order
     return {x: find(x) for x in parent}
 
 

@@ -121,14 +121,14 @@ def q_is_completed(sf_dir: str):
                      .select(["o_custkey"]),
                      batch_format="pyarrow", batch_size=BATCH)
                  .unique("o_custkey"))
-    ref = ray.put(set(open_keys))
+    ref = ray.put(np.asarray(open_keys, dtype=np.int64))
 
     def flag(b: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = np.array([k not in keys for k in
-                         np.asarray(b.column("c_custkey")).tolist()])
+        in_open = pc.is_in(b.column("c_custkey"),
+                           value_set=pa.array(keys, pa.int64()))
         return pa.table({"c_custkey": b.column("c_custkey"),
-                         "is_completed": pa.array(mask)})
+                         "is_completed": pc.invert(in_open)})
 
     return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         flag, batch_format="pyarrow", batch_size=BATCH)
@@ -254,8 +254,8 @@ WITH marked AS (
   FROM events),
 sess AS (
   SELECT user_id, ts,
-    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM marked)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS t_start, max(ts) AS t_end
@@ -435,16 +435,24 @@ def q_revenue_per_nation(sf_dir: str):
     bucketed hash join documented in ray_guide."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
-    ref = ray.put(dict(zip(dim["c_custkey"], dim["n_name"])))
+    dim = (cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+           .sort_values("c_custkey"))
+    # broadcast a (sorted keys, name-code, name-dictionary) triple once;
+    # per batch the lookup is one vectorized searchsorted + two takes
+    name_dict, codes = np.unique(dim["n_name"].to_numpy(dtype=object),
+                                 return_inverse=True)
+    ref = ray.put((dim["c_custkey"].to_numpy(dtype=np.int64),
+                   codes.astype(np.int32),
+                   pa.array(name_dict, pa.string())))
 
     def join_batch(b: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        names = [lookup[k] for k in np.asarray(b.column("o_custkey")).tolist()]
+        keys, code_of, names = ray.get(ref)
+        pos = np.searchsorted(keys, np.asarray(b.column("o_custkey"),
+                                               dtype=np.int64))
+        name_col = names.take(pa.array(code_of[pos], pa.int32()))
         cents = pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
                                 0.5)).cast(pa.int64())
-        return pa.table({"n_name": pa.array(names, pa.string()),
-                         "price_cents": cents})
+        return pa.table({"n_name": name_col, "price_cents": cents})
 
     return (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
             .map_batches(join_batch, batch_format="pyarrow", batch_size=BATCH)
@@ -492,14 +500,14 @@ FROM orders"""
 def q_url_sample(sf_dir: str):
     """Deterministic 1/16 sample (≙ the reference's ``ORDER BY RANDOM()
     LIMIT 1`` sampling, models.py:112, made reproducible per north_rule):
-    keep rows whose md5(url) starts with '0'."""
+    keep rows whose md5(url) starts with '0' — i.e. top nibble of the
+    big-endian digest is 0, computed via the vectorized md5 kernel."""
+    from ..functions.canonicalize import md5_hash64
     from .frontier_core import pages_ds
 
     def pick(b: pa.Table) -> pa.Table:
-        urls = b.column("url").to_pylist()
-        import hashlib
-        keep = [hashlib.md5(u.encode()).hexdigest()[0] == "0" for u in urls]
-        return b.filter(pa.array(keep)).select(["url", "warc_ts"])
+        nibble = md5_hash64(b.column("url")) >> np.uint64(60)
+        return b.filter(pa.array(nibble == 0)).select(["url", "warc_ts"])
 
     return pages_ds(sf_dir, ["url", "warc_ts"]).map_batches(
         pick, batch_format="pyarrow", batch_size=BATCH)

@@ -7,8 +7,6 @@ in pytest instead.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -17,8 +15,10 @@ import ray
 import ray.data
 
 from ..functions import ann
+from ..functions.canonicalize import md5_hex
 from ..functions.dedup import (connected_components, hamming64, jaccard,
-                               minhash_batch, simhash_batch, simhash_chunks)
+                               minhash_batch, pairs_from_groups,
+                               simhash_batch, simhash_chunks)
 from ..functions.text import (fingerprint_batch, langid_batch, quality_batch,
                               token_count_batch)
 
@@ -38,8 +38,7 @@ def q_doc_dedup_exact(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"doc_id": np.asarray(b.column("doc_id")),
-                           "h": [hashlib.md5(t.encode()).hexdigest()
-                                 for t in b.column("text").to_pylist()]})
+                           "h": np.asarray(md5_hex(b.column("text")))})
         out = df.groupby("h", sort=False)["doc_id"].min().reset_index()
         return pa.table({"h": pa.array(out["h"], pa.string()),
                          "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
@@ -114,63 +113,99 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 # ---------------------------------------------------------------- minhash LSH
+N_LSH_BUCKETS = 64
+
+
+def _join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count sized to the cluster: ~CPU/2 (join
+    aggregator actors + map tasks share the node), ≥2, ≤cap per join."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(cap, cpus // 2))
+
+
+def _lsh_bucket(band_id, band_hash) -> np.ndarray:
+    """Shuffle key: whole (band_id, band_hash) groups land in one bucket,
+    so a groupby over ~64 int buckets replaces a groupby over ~16·n_docs
+    mostly-singleton band groups (Ray's per-group dispatch over millions of
+    tiny groups measured pathologically slow in round 1)."""
+    from ..functions.dedup import _splitmix
+    mixed = _splitmix(np.asarray(band_hash, dtype=np.uint64)
+                      ^ (np.asarray(band_id).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+    return (mixed % np.uint64(N_LSH_BUCKETS)).astype(np.int32)
+
+
 def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
                     jaccard_threshold: float = 0.8):
-    """MinHash→LSH→verify→cluster: returns (doc_id, cluster_id) for every
-    doc in a verified near-dup cluster. Shuffle = groupby (band_id,
-    band_hash) over the exploded band rows; verification joins back the
-    candidate pairs' texts by broadcast."""
+    """MinHash→LSH→verify→cluster, fully distributed: returns
+    (doc_id, cluster_id) for every doc in a verified near-dup cluster.
+
+    1. sketch: map_batches → exploded (band_id, band_hash, doc_id) rows
+       (16 B/row; texts never leave their blocks);
+    2. candidates: groupby(lsh bucket) → vectorized within-bucket pair
+       expansion (``pairs_from_groups``);
+    3. cross-band dedup of pairs: groupby(a_id, b_id) — pairs only;
+    4. verify: candidate pairs ⋈ documents twice on doc_id (Ray native
+       hash join — the bucketed semi-join; the corpus streams, the driver
+       never gathers texts), n-gram Jaccard inside map_batches;
+    5. cluster: union-find over the verified pairs ONLY (tiny) on the
+       driver — the one legitimately driver-sized artifact.
+    """
+    from ray.data.aggregate import Count
     ds = _docs(sf_dir, ["doc_id", "text"])
     bands_ds = ds.map_batches(
         lambda df: minhash_batch(df, n_perm=n_perm, bands=bands),
-        batch_format="pandas", batch_size=BATCH).materialize()
+        batch_format="pandas", batch_size=BATCH)
 
-    # candidate buckets = (band_id, band_hash) groups with ≥2 members. A
-    # per-bucket map_groups would dispatch python once per bucket (≈ 16 ×
-    # n_docs groups — almost all singletons), and Ray's sort-aggregate over
-    # that many string groups is pathologically slow; instead: per-batch
-    # partial counts → small driver combine → broadcast hot-bucket set.
-    partials = bands_ds.map_batches(
-        lambda df: df.groupby(["band_id", "band_hash"], sort=False)
-        .size().reset_index(name="n"),
-        batch_format="pandas", batch_size=65536).to_pandas()
-    counts = (partials.groupby(["band_id", "band_hash"], sort=False)["n"]
-              .sum().reset_index())
-    hot = counts[counts["n"] >= 2]
-    hot_keys = set(zip(hot["band_id"].astype(int), hot["band_hash"]))
-    if not hot_keys:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = _lsh_bucket(df["band_id"].to_numpy(),
+                                   df["band_hash"].to_numpy())
+        return df
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = pairs_from_groups(
+            [g["band_id"].to_numpy(np.int32),
+             g["band_hash"].to_numpy(np.uint64)],
+            g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({"a_id": a, "b_id": b})
+
+    cand = (bands_ds.map_batches(add_bucket, batch_format="pandas",
+                                 batch_size=65536)
+            .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+            .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="n"))
+            .select_columns(["a_id", "b_id"])
+            .materialize())  # candidate pairs only — ≪ corpus at any scale
+    if cand.count() == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "cluster_id": pd.array([], dtype="int64")})
-    ref = ray.put(hot_keys)
 
-    def in_hot(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(ref)
-        mask = [(int(b), h) in keys
-                for b, h in zip(df["band_id"], df["band_hash"])]
-        return df[pd.Series(mask, index=df.index)]
+    docs_a = ds.map_batches(
+        lambda b: pa.table({"a_id": b.column("doc_id"),
+                            "text_a": b.column("text")}),
+        batch_format="pyarrow", batch_size=BATCH)
+    docs_b = ds.map_batches(
+        lambda b: pa.table({"b_id": b.column("doc_id"),
+                            "text_b": b.column("text")}),
+        batch_format="pyarrow", batch_size=BATCH)
+    # two hash joins, materialized between: two concurrent JoinOperators in
+    # one plan strand each other's aggregator actors on a small node, and
+    # the intermediate (pairs + text_a) is candidate-sized, not corpus-sized
+    np_ = _join_partitions()
+    withtext = (cand.join(docs_a, join_type="inner", num_partitions=np_,
+                          on=("a_id",)).materialize()
+                .join(docs_b, join_type="inner", num_partitions=np_,
+                      on=("b_id",)))
 
-    members = bands_ds.map_batches(in_hot, batch_format="pandas",
-                                   batch_size=65536).to_pandas()
-    pairs = []
-    for _, g in members.groupby(["band_id", "band_hash"], sort=False):
-        ids = np.sort(g["doc_id"].to_numpy())
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                pairs.append((int(ids[x]), int(ids[y])))
-    cand = pd.DataFrame(pairs, columns=["a_id", "b_id"]).drop_duplicates() \
-        if pairs else pd.DataFrame({"a_id": [], "b_id": []})
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "cluster_id": pd.array([], dtype="int64")})
-    need = set(int(x) for x in cand["a_id"]) | set(int(x) for x in cand["b_id"])
-    texts: dict[int, str] = {}
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for d, t in zip(np.asarray(b["doc_id"]).tolist(), b["text"].to_pylist()):
-            if d in need:
-                texts[d] = t
-    verified = [(int(a), int(b_)) for a, b_ in zip(cand["a_id"], cand["b_id"])
-                if jaccard(texts[int(a)], texts[int(b_)]) >= jaccard_threshold]
-    comp = connected_components(verified)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ok = [jaccard(ta, tb) >= jaccard_threshold
+              for ta, tb in zip(df["text_a"], df["text_b"])]
+        out = df.loc[ok, ["a_id", "b_id"]]
+        return out.astype({"a_id": "int64", "b_id": "int64"})
+
+    verified = withtext.map_batches(verify, batch_format="pandas",
+                                    batch_size=4096)
+    vp = verified.to_pandas()  # verified near-dup pairs: small by definition
+    comp = connected_components(list(zip(vp["a_id"].astype(int),
+                                         vp["b_id"].astype(int))))
     out = sorted(comp.items())
     return pd.DataFrame({"doc_id": pd.array([d for d, _ in out], dtype="int64"),
                          "cluster_id": pd.array([c for _, c in out], dtype="int64")})
@@ -178,35 +213,51 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
 
 # ---------------------------------------------------------------- simhash
 def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup pairs via pigeonhole chunk bucketing: any pair
-    within hamming ≤ 3 shares one of 4 exact 16-bit chunks → groupby
-    (chunk_idx, chunk_val) → verify hamming."""
+    """SimHash near-dup pairs via pigeonhole chunk bucketing, fully
+    distributed: any pair within hamming ≤ 3 shares one of 4 exact 16-bit
+    chunks → explode 4 (chunk_idx, chunk_val) rows per doc → groupby(lsh
+    bucket) → within-bucket pair expansion + vectorized hamming verify (the
+    simhash values travel with the rows, so verification happens in the
+    same map_groups — no second pass) → distributed cross-chunk pair dedup.
+    The driver receives only the final verified pairs."""
+    from ray.data.aggregate import Count
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sh = ds.map_batches(simhash_batch, batch_format="pandas",
-                        batch_size=BATCH).to_pandas()
-    ids = sh["doc_id"].to_numpy(dtype=np.int64)
-    hs = sh["simhash"].to_numpy(dtype=np.uint64)
-    chunks = simhash_chunks(hs, 4)
-    seen_pairs = set()
-    for ci in range(4):
-        df = pd.DataFrame({"v": chunks[:, ci], "i": np.arange(len(ids))})
-        for _, g in df.groupby("v"):
-            idx = g["i"].to_numpy()
-            if len(idx) < 2:
-                continue
-            for x in range(len(idx)):
-                for y in range(x + 1, len(idx)):
-                    a, b = int(ids[idx[x]]), int(ids[idx[y]])
-                    seen_pairs.add((min(a, b), max(a, b)))
-    if not seen_pairs:
+    sh_ds = ds.map_batches(simhash_batch, batch_format="pandas",
+                           batch_size=BATCH)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        hs = df["simhash"].to_numpy(np.uint64)
+        chunks = simhash_chunks(hs, 4)  # (n, 4)
+        n = len(ids)
+        ci = np.tile(np.arange(4, dtype=np.int32), n)
+        cv = chunks.reshape(-1)
+        return pd.DataFrame({
+            "bucket": _lsh_bucket(ci, cv),
+            "chunk_idx": ci, "chunk_val": cv,
+            "doc_id": np.repeat(ids, 4), "simhash": np.repeat(hs, 4)})
+
+    def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, ha, hb = pairs_from_groups(
+            [g["chunk_idx"].to_numpy(np.int32),
+             g["chunk_val"].to_numpy(np.uint64)],
+            g["doc_id"].to_numpy(np.int64),
+            payload=g["simhash"].to_numpy(np.uint64))
+        ok = hamming64(ha, hb) <= max_hamming
+        return pd.DataFrame({"a_id": a[ok], "b_id": b[ok]})
+
+    pairs = (sh_ds.map_batches(explode, batch_format="pandas",
+                               batch_size=65536)
+             .groupby("bucket").map_groups(emit_verified,
+                                           batch_format="pandas")
+             .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="n"))
+             .select_columns(["a_id", "b_id"]))
+    out = pairs.to_pandas()  # final verified pairs only
+    if out.empty:
         return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
                              "b_id": pd.array([], dtype="int64")})
-    arr = np.array(sorted(seen_pairs), dtype=np.int64)
-    pos = {int(d): i for i, d in enumerate(ids)}
-    ha = hs[[pos[int(a)] for a in arr[:, 0]]]
-    hb = hs[[pos[int(b)] for b in arr[:, 1]]]
-    ok = hamming64(ha, hb) <= max_hamming
-    return pd.DataFrame({"a_id": arr[ok, 0], "b_id": arr[ok, 1]})
+    return (out.astype({"a_id": "int64", "b_id": "int64"})
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------- embeddings

@@ -34,10 +34,9 @@ lineage); bloom snapshots commit per wave. Kill the driver at any point and
 final state (tests/test_flagship.py).
 
 Scale notes: on a real cluster, partitions number 256+ (partition_hex_chars
-= 2) and wave size ≈ cluster width; the driver-side politeness schedule
-broadcast is per-wave and slim (16 B/URL) — at 10^10-URL scale it becomes a
-bucketed hash join (both sides keyed by url_hash % B) instead of a driver
-dict, with everything else unchanged.
+= 2) and wave size ≈ cluster width; the payload↔schedule recombination is a
+native hash join on url_hash (read_stage1_with_schedule) — fully
+distributed, no driver-side schedule dict at any scale.
 """
 
 from __future__ import annotations
@@ -63,18 +62,22 @@ from ..stages.politeness import politeness_ranked
 from ..stages.robots import allowed_mask
 from ..stages.seen_filter import SeenFilter, make_shards, snapshot_shards
 from ..state.checkpoint import (CLOSED, GPU, LEASED, STAGE_VERSIONS, Manifest)
-from ..state.counters import CounterActor
+from ..state.counters import CounterShards
 
 NICKNAME_POOL = 5
 DEFAULT_WAVE_SIZE = 8
 
 
-def upload_store(seed: int, pid: int) -> str:
+def upload_store(seed: int, pid: int,
+                 shortcircuit_hex: tuple[str, ...] = ("0", "1")) -> str:
     """Deterministic analog of the reference's random upload-address pools
-    (reference main.py:507-510): ~2/16 of partitions get the 'postgres'
-    store, which short-circuits the GPU stage (reference main.py:413-415)."""
+    (reference main.py:507-510): partitions whose md5 leads with one of
+    ``shortcircuit_hex`` (default 2/16) get the 'postgres' store, which
+    short-circuits the GPU stage (reference main.py:413-415). The hex set
+    comes from PipelineConfig.postgres_shortcircuit_hex — one knob, used
+    identically here and in refsim.is_postgres."""
     h = hashlib.md5(f"store|{seed}|{pid}".encode()).hexdigest()
-    return "postgres" if h[0] in ("0", "1") else "files"
+    return "postgres" if h[0] in shortcircuit_hex else "files"
 
 
 def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
@@ -106,6 +109,13 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
     A plain task function (not an actor pool): the bloom state lives in the
     shared shard actors, the robots rule cache in the worker process — so
     there is no per-execution actor spin-up, and Ray schedules it elastically.
+
+    NOT idempotent: ``seen(batch)`` mutates the bloom shards and the counter
+    increments accumulate — a Ray-retried task would find its own URLs
+    already 'seen' (silently dropping the batch) and double-count. The wave
+    therefore runs with ``max_retries=0`` (see run_crawl): a lost task fails
+    the wave, and resume replays it from the manifest + the last committed
+    seen-snapshot, which is consistent (snapshots commit only at wave end).
     """
     seen = SeenFilter(shards)
     n_parts = 16 ** hex_chars
@@ -118,9 +128,7 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
                 batch.schema.get_field_index("partition_id"), "partition_id",
                 pa.array(pids_in, pa.int32()))
         else:
-            hosts = np.asarray(batch.column("host"))
-            uniq, inv = np.unique(hosts, return_inverse=True)
-            pids_in = md5_partition(uniq, hex_chars)[inv]
+            pids_in = md5_partition(batch.column("host"), hex_chars)
             batch = batch.append_column("partition_id",
                                         pa.array(pids_in, pa.int32()))
         n_in = np.bincount(pids_in, minlength=n_parts)
@@ -140,8 +148,10 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
             "robots_blocked": int(n_new[pid] - n_ok[pid]),
             "urls_fetched": int(n_ok[pid]),
         } for pid in np.unique(pids_in)}
-        # sync (one RPC/batch): counters complete before the manifest commits
-        ray.get(counter.incr_many.remote(updates))
+        # sync, sharded: one parallel RPC per touched counter shard, so the
+        # batch waits one RTT but no single actor serializes the cluster;
+        # counters are complete before the wave's manifests commit
+        counter.incr_many(updates)
 
         out = fetch_extract_batch(fetched, verify=True)
         return out.drop_columns(["html"])
@@ -158,15 +168,20 @@ def load_seed_hashes(sf_dir: str, cfg: PipelineConfig) -> np.ndarray:
     from ..functions.canonicalize import canonicalize_url, md5_hash64
     path = os.path.join(ensure_frontier(sf_dir, cfg.seed), "seed_list.parquet")
     urls = pq.read_table(path, columns=["url"]).column("url").to_pylist()
-    canon = np.asarray([canonicalize_url(u) for u in urls], dtype=object)
+    canon = [canonicalize_url(u) for u in urls]
     return np.sort(md5_hash64(canon))
 
 
 def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
     """Stage-1 payload joined with its politeness-schedule sidecar by
-    url_hash (broadcast searchsorted; at cluster scale a bucketed hash
-    join on the same key). Used by entry(), tests, and any consumer that
-    needs payload + schedule together."""
+    ``url_hash`` via Ray's native hash join — both sides hash-partitioned
+    on the key, so the join is fully distributed (the round-1 driver-side
+    broadcast searchsorted is gone; at 10^10 URLs neither side ever
+    materializes outside the object store). ``url_hash`` is unique per
+    surviving URL (the bloom filter admits each hash once) and the
+    schedule covers exactly the fetched URLs, so the inner join is 1:1.
+    Used by entry(), tests, and any consumer that needs payload +
+    schedule together."""
     s1 = Path(out_root, "stage1")
     sch = Path(out_root, "schedule")
     sel = (sorted(int(p.name.split("=")[1]) for p in s1.iterdir())
@@ -175,30 +190,13 @@ def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
              for f in sorted(Path(s1, f"partition_id={p}").glob("*.parquet"))]
     sfiles = [str(f) for p in sel
               for f in sorted(Path(sch, f"partition_id={p}").glob("*.parquet"))]
-    import pyarrow.parquet as pq
-    if not sfiles:
-        st = pa.table({"url_hash": pa.array([], pa.uint64()),
-                       "politeness_rank": pa.array([], pa.int64()),
-                       "fetch_round": pa.array([], pa.int64())})
-    else:
-        st = pq.read_table(sfiles, columns=["url_hash", "politeness_rank",
-                                            "fetch_round"])
-    keys = np.asarray(st.column("url_hash"), dtype=np.uint64)
-    o = np.argsort(keys, kind="stable")
-    ref = ray.put((keys[o],
-                   np.asarray(st.column("politeness_rank"), dtype=np.int64)[o],
-                   np.asarray(st.column("fetch_round"), dtype=np.int64)[o]))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        k, rk, rd = ray.get(ref)
-        pos = np.searchsorted(k, np.asarray(batch.column("url_hash"),
-                                            dtype=np.uint64))
-        return (batch
-                .append_column("politeness_rank", pa.array(rk[pos], pa.int64()))
-                .append_column("fetch_round", pa.array(rd[pos], pa.int64())))
-
-    return ray.data.read_parquet(files).map_batches(attach,
-                                                    batch_format="pyarrow")
+    payload = ray.data.read_parquet(files)
+    schedule = ray.data.read_parquet(
+        sfiles, columns=["url_hash", "politeness_rank", "fetch_round"])
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return payload.join(schedule, join_type="inner",
+                        num_partitions=max(2, min(16, cpus // 2)),
+                        on=("url_hash",))
 
 
 def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -227,7 +225,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     universe = _partition_ids(staging)
     order = dispatch_order(universe, cfg.seed)
 
-    counter = CounterActor.remote()
+    counter = CounterShards(cfg.n_counter_shards)
     shards = make_shards(cfg.n_seen_shards, cfg.seen_bits_per_shard,
                          cfg.seen_num_hashes,
                          snapshots=manifest.load_seen_snapshot() if resume else None,
@@ -269,9 +267,14 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         files = sorted(str(f) for p in wave
                        for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
         ds = ray.data.read_parquet(files)
+        # max_retries=0: the stage mutates shared state (bloom add +
+        # counter incr) and MUST NOT be replayed by Ray's task retry —
+        # see _make_cpu_stage. A lost task fails the wave; resume replays
+        # it from the manifest + last committed seen-snapshot.
         surv = ds.map_batches(cpu_stage, batch_format="pyarrow",
                               batch_size=cfg.batch_size,
-                              zero_copy_batch=True).materialize()
+                              zero_copy_batch=True,
+                              max_retries=0).materialize()
         tp = _mark("cpu_stage", tp)
 
         surv.write_parquet(stage1_root, partition_cols=["partition_id"])
@@ -299,7 +302,9 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         tp = _mark("politeness", tp)
 
         # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
-        stores = {pid: upload_store(cfg.seed, pid) for pid in wave}
+        stores = {pid: upload_store(cfg.seed, pid,
+                                    cfg.postgres_shortcircuit_hex)
+                  for pid in wave}
         gpu_pids = [p for p in wave if stores[p] != "postgres"]
         pairs_by_pid: dict[int, int] = {}
         if gpu_pids:
@@ -338,7 +343,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         for pid in wave:
             cpu_nick, gpu_nick = nicks[pid]
             gpu_url = f"{stores[pid]}://{stage1_root}/partition_id={pid}"
-            counters = ray.get(counter.snapshot.remote(pid))
+            counters = counter.snapshot(pid)
             if stores[pid] == "postgres":
                 manifest.transition(pid, CLOSED, completor=cpu_nick,
                                     gpu_url=gpu_url, counters=counters,
@@ -356,8 +361,9 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         manifest.save_seen_snapshot(snapshot_shards(shards))
         _mark("close_commit", tp)
 
-    for a in shards + [counter]:
+    for a in shards:
         ray.kill(a)  # do not leave zombie actors holding resources
+    counter.kill()
 
     wall = time.time() - t0
     totals = manifest.totals()

@@ -80,12 +80,13 @@ def survivor_ts_set(canon_ds: Dataset) -> np.ndarray:
     combiner) → ``groupby(url_canon).min`` over the shrunk partials → driver
     collects one int64 per unique URL.
 
-    Scale note: at 10^10 unique URLs this driver-side set (~80 GB) would not
-    fit; the scale path replaces the broadcast with a bucketed hash
-    semi-join — both sides keyed by ``url_hash % B``, per-bucket joins inside
-    map_groups — or with the bloom seen-filter actor pool
-    (stages/seen_filter.py), which is the streaming production path. The
-    broadcast variant is kept because it is *exact* and DuckDB-verifiable.
+    Scale note: at 10^10 unique URLs this driver-side set (~80 GB) would
+    not fit — :func:`dedup_survivors_bucketed` (one bucketed shuffle, no
+    driver set) is the production path and the default behind
+    :func:`dedup_survivors`; the bloom seen-filter actor pool
+    (stages/seen_filter.py) is the streaming variant. This broadcast
+    twin is kept because it is *exact* and DuckDB-verifiable, and tests
+    assert the bucketed path produces identical rows.
     """
     partial = canon_ds.map_batches(_ts_us, batch_format="pyarrow").map_batches(
         _partial_min_ts, batch_format="pyarrow")
@@ -119,9 +120,45 @@ def filter_survivors(canon_ds: Dataset, ts_set: np.ndarray) -> Dataset:
     return canon_ds.map_batches(keep, batch_format="pyarrow")
 
 
+N_DEDUP_BUCKETS = 64
+
+
+def dedup_survivors_bucketed(ds_canon: Dataset,
+                             n_buckets: int = N_DEDUP_BUCKETS) -> Dataset:
+    """Exact first-wins dedup by canonical URL as ONE bucketed shuffle —
+    the distributed scale path (no driver-side key set at any scale).
+
+    Bucket key = hash(url_canon) % n_buckets, so every canonical URL's rows
+    land in exactly one bucket; within a bucket one vectorized pandas
+    sort + drop_duplicates keeps the min-warc_ts row per URL. The groupby
+    runs over ``n_buckets`` int keys (cheap sort-aggregate), never over
+    millions of string keys (Ray's per-group dispatch over mostly-singleton
+    string groups measured ~100× slower in round 1)."""
+    import pandas as pd
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b.column("url_canon")))
+        return b.append_column(
+            "dedup_bucket",
+            pa.array((h % n_buckets).astype(np.int32), pa.int32()))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url_canon", "warc_ts"], kind="mergesort")
+        return (g[~g["url_canon"].duplicated()]
+                .drop(columns=["dedup_bucket"]))
+
+    return (ds_canon.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("dedup_bucket")
+            .map_groups(first_wins, batch_format="pandas"))
+
+
 def dedup_survivors(ds_canon: Dataset) -> Dataset:
-    """Exact first-wins dedup by canonical URL (D1, SURVEY.md §2.7)."""
-    return filter_survivors(ds_canon, survivor_ts_set(ds_canon))
+    """Exact first-wins dedup by canonical URL (D1, SURVEY.md §2.7) —
+    distributed bucketed implementation. The broadcast variant
+    (:func:`filter_survivors` + :func:`survivor_ts_set`) is kept as the
+    DuckDB-auditable reference twin; both are asserted equal in
+    tests/test_frontier_queries.py."""
+    return dedup_survivors_bucketed(ds_canon)
 
 
 def actor_pool_size(reserve: int = 2, cap: int = 12) -> int:

@@ -64,8 +64,10 @@ def dispatch_order(pids: list[int], seed: int) -> list[int]:
     return sorted(pids, key=lambda p: hashlib.md5(f"{seed}|{p}".encode()).hexdigest())
 
 
-def is_postgres(seed: int, pid: int) -> bool:
-    return hashlib.md5(f"store|{seed}|{pid}".encode()).hexdigest()[0] in ("0", "1")
+def is_postgres(seed: int, pid: int,
+                shortcircuit_hex: tuple = ("0", "1")) -> bool:
+    return (hashlib.md5(f"store|{seed}|{pid}".encode()).hexdigest()[0]
+            in shortcircuit_hex)
 
 
 def nickname(seed: int, idx: int, words: list[str]) -> str:
@@ -141,7 +143,7 @@ def simulate(pages: pa.Table, cfg: PipelineConfig,
             "urls_fetched": len(fetched),
         }
         res.states[pid] = "closed"
-        if is_postgres(cfg.seed, pid):
+        if is_postgres(cfg.seed, pid, cfg.postgres_shortcircuit_hex):
             nick = nickname(cfg.seed + 1, pid % nickname_pool, words)
             lb = res.leaderboard.setdefault(nick, {"jobs": 0, "pairs": 0})
             lb["jobs"] += 1

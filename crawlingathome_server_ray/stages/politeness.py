@@ -17,8 +17,10 @@ needs all of a host's rows together), but per-group work is O(n log n)
 vectorized sort, and upstream stages have already collapsed rows to the slim
 ``(url_canon, host, warc_ts)`` projection — the wide ``html`` column never
 enters this shuffle (SURVEY.md §7 hard-part d). For pathological hosts
-(>10^7 URLs), cap via pre-filter: budget × n_rounds_max rows per host kept
-by a salted per-batch top-k before the groupby; not needed at sandbox scale.
+(>10^7 URLs), pass ``max_rounds``: a per-batch per-host top-(budget ×
+max_rounds) pre-cap runs BEFORE the bucket shuffle, so a degenerate host
+ships at most cap × n_blocks rows into its bucket instead of all of them —
+see :func:`politeness_ranked`.
 """
 
 from __future__ import annotations
@@ -76,9 +78,31 @@ def rank_table(t: pa.Table, budget: int,
                            pa.array((rank - 1) // budget, pa.int64())))
 
 
+def local_host_topk(t: pa.Table, cap: int,
+                    order: tuple[str, ...] = DEFAULT_ORDER) -> pa.Table:
+    """Batch-local per-host top-``cap`` by ``order`` (Arrow-native sort +
+    boundary diff). Correctness of the pre-cap: a row outside its
+    batch-local host top-cap has ≥ cap same-host rows ordered before it
+    within the batch alone, hence ≥ cap globally → its global rank > cap →
+    it cannot appear in the first ``cap`` ranks. So filtering per batch
+    first is a strict superset of the global winners."""
+    ranked = rank_table(t, budget=1, order=order)
+    keep = pc.less_equal(ranked.column("politeness_rank"), cap)
+    return ranked.filter(keep).drop_columns(["politeness_rank", "fetch_round"])
+
+
 def politeness_ranked(ds: Dataset, budget: int,
-                      order: tuple[str, ...] = DEFAULT_ORDER) -> Dataset:
+                      order: tuple[str, ...] = DEFAULT_ORDER,
+                      max_rounds: int | None = None) -> Dataset:
     """Per-host rank + fetch_round columns via a bucketed groupby shuffle.
+
+    ``max_rounds``: optionally keep only URLs scheduled in the first
+    ``max_rounds`` politeness rounds (≤ budget × max_rounds per host). The
+    cap is applied per-batch BEFORE the shuffle (:func:`local_host_topk`) —
+    the skew guard for Zipf-pathological hosts: the shuffle then carries at
+    most cap rows per (host, block) instead of the host's full URL set.
+    Ranks of surviving rows are identical to the uncapped ranking
+    (asserted in tests/test_functions.py::test_politeness_host_precap).
 
     The shuffle key is ``host_bucket = hash(host) % 256``, not ``host``:
     whole hosts land in one bucket (ranking stays exact), but Ray's
@@ -101,7 +125,17 @@ def politeness_ranked(ds: Dataset, budget: int,
         b = (pd.util.hash_array(hosts) % N_BUCKETS).astype(np.int32)
         return batch.append_column("host_bucket", pa.array(b, pa.int32()))
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("host_bucket")
-            .map_groups(lambda t: rank_table(t, budget, order),
-                        batch_format="pyarrow"))
+    if max_rounds is not None:
+        cap = budget * max_rounds
+        ds = ds.map_batches(lambda t: local_host_topk(t, cap, order),
+                            batch_format="pyarrow")
+
+    ranked = (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("host_bucket")
+              .map_groups(lambda t: rank_table(t, budget, order),
+                          batch_format="pyarrow"))
+    if max_rounds is not None:
+        ranked = ranked.map_batches(
+            lambda t: t.filter(pc.less(t.column("fetch_round"), max_rounds)),
+            batch_format="pyarrow")
+    return ranked

@@ -16,7 +16,7 @@ Guarantees:
 - false-positive rate bounded by the classic bloom bound — with the default
   2^23 bits / 7 hashes a shard holds ~500k keys under 1% FP; size shards to
   the frontier (at 10^10 URLs: more shards on more nodes, or cuckoo shards
-  for exactness with deletions);
+  for near-exact membership with deletions);
 - first-occurrence-wins *within* a single RPC too (within-batch duplicates
   are resolved by first index);
 - shards snapshot/restore as bytes for atomic checkpointing together with
@@ -81,8 +81,8 @@ class BloomFilter:
         return bool(((self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).all())
 
     def snapshot(self) -> dict:
-        return {"m": self.m, "k": self.k, "n_added": self.n_added,
-                "bits": self.bits.tobytes()}
+        return {"kind": "bloom", "m": self.m, "k": self.k,
+                "n_added": self.n_added, "bits": self.bits.tobytes()}
 
     @classmethod
     def restore(cls, snap: dict) -> "BloomFilter":
@@ -96,7 +96,10 @@ class CuckooFilter:
     """Cuckoo filter shard (Fan et al. 2014): 4-slot buckets, 16-bit
     fingerprints, partial-key cuckoo hashing — supports DELETE, which the
     bloom variant cannot (needed when a crawl re-opens URLs, e.g. after a
-    ``gpuInvalidDownload`` reset). ~μs/op python-loop inserts; the bloom
+    ``gpuInvalidDownload`` reset). Membership is NEAR-exact, not exact: a
+    16-bit partial key gives ~2^-13 false positives, and a delete can evict
+    a fingerprint-colliding other key's entry — operators must not rely on
+    exactness for re-open semantics. ~μs/op python-loop inserts; the bloom
     shard remains the default for pure-append workloads."""
 
     MAX_KICKS = 500
@@ -205,8 +208,8 @@ class BloomShardActor:
     # reserving CPU slots for 8+ shards would starve the map stages on small
     # nodes (observed deadlock at num_cpus=4 with leftover actors).
     """One seen-set shard (≙ one slice of the reference's global ``seen``
-    set, update_db.py:98-105): bloom (default) or cuckoo (exact, supports
-    delete for URL re-opens)."""
+    set, update_db.py:98-105): bloom (default) or cuckoo (near-exact
+    16-bit-fingerprint membership, supports delete for URL re-opens)."""
 
     def __init__(self, n_bits: int, n_hashes: int, kind: str = "bloom"):
         self.kind = kind
@@ -240,6 +243,20 @@ def make_shards(n_shards: int, n_bits: int, n_hashes: int,
     shards = [BloomShardActor.remote(n_bits, n_hashes, kind)
               for _ in range(n_shards)]
     if snapshots:
+        # routing is url_hash % n_shards: restoring a snapshot taken under a
+        # different shard count would silently misroute hashes (re-admitting
+        # seen URLs / dropping new ones). Refuse rather than truncate.
+        if len(snapshots) != n_shards:
+            raise ValueError(
+                f"seen-snapshot has {len(snapshots)} shards but config asks "
+                f"for {n_shards}; n_seen_shards must not change across a "
+                f"resume (delete the snapshot to rebuild the seen set)")
+        snap_kind = snapshots[0].get("kind", "bloom")
+        if snap_kind != kind:
+            raise ValueError(
+                f"seen-snapshot kind {snap_kind!r} != configured "
+                f"seen_filter_kind {kind!r}; changing filter kind across a "
+                f"resume is not supported")
         ray.get([s.restore.remote(snap) for s, snap in zip(shards, snapshots)])
     return shards
 

@@ -86,7 +86,7 @@ class Manifest:
                 raise ValueError(
                     f"invalid transition {cur['state']}→{new_state} for partition {pid}")
         cur["history"].append({"from": cur["state"], "to": new_state,
-                               "ts": time.time()})
+                               "ts": time.time(), "completor": completor})
         cur["state"] = new_state
         if new_state == LEASED:
             cur["lease_ts"] = time.time()
@@ -128,6 +128,49 @@ class Manifest:
             for k, v in (m.get("counters") or {}).items():
                 t[k] = t.get(k, 0) + v
         return t
+
+    def validate_worker(self, token: str, now: float | None = None) -> bool:
+        """Does a live (unexpired) lease exist for this worker token?
+        (≙ reference /api/validateWorker, main.py:515-522 — the
+        Client-row-exists check; here a worker 'exists' exactly while it
+        holds a lease, the only liveness the manifest store tracks.)"""
+        now = now or time.time()
+        for m in self.all().values():
+            if (m["state"] == LEASED and m.get("completor") == token
+                    and now - m.get("lease_ts", 0) <= self.lease_timeout_s):
+                return True
+        return False
+
+    def worker_stats(self) -> dict[str, dict]:
+        """Per-completor jobs / pairs / first_ts / last_ts / efficiency.
+
+        efficiency_jobs_per_h = jobs / (last − first) × 3600 — the
+        reference's per-worker rate (templates/worker.html:37, computed
+        from Client.first_seen/last_seen); None while the span is < 1 s
+        (a worker that just closed its first job has no meaningful rate).
+        first/last come from the manifest history entries naming the
+        completor (lease + close transitions)."""
+        out: dict[str, dict] = {}
+        for m in self.all().values():
+            if m["state"] != CLOSED:
+                continue
+            comp = m.get("completor") or "?"
+            e = out.setdefault(comp, {"jobs": 0, "pairs": 0,
+                                      "first_ts": None, "last_ts": None})
+            e["jobs"] += 1
+            e["pairs"] += m.get("pairs_scraped") or 0
+            for h in m.get("history", []):
+                if h.get("completor") != comp and not (
+                        h["to"] == CLOSED and m.get("completor") == comp):
+                    continue
+                ts = h["ts"]
+                e["first_ts"] = ts if e["first_ts"] is None else min(e["first_ts"], ts)
+                e["last_ts"] = ts if e["last_ts"] is None else max(e["last_ts"], ts)
+        for e in out.values():
+            span = ((e["last_ts"] or 0) - (e["first_ts"] or 0))
+            e["efficiency_jobs_per_h"] = (
+                round(e["jobs"] / span * 3600.0, 2) if span >= 1.0 else None)
+        return out
 
     def invalidate_gpu(self, pid: int) -> dict:
         """GPU worker rejects a bad stage-1 artifact: job back to the CPU

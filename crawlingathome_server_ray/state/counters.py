@@ -3,11 +3,13 @@
 reference main.py:96-140, 813-818 — recomputed from the pipeline itself
 instead of hardcoded, per SURVEY.md A6).
 
-A single named actor accumulates ``{partition_id: {counter: n}}`` increments
-from stages; the driver snapshots it into each partition manifest. Increments
-are synchronous (the stage ray.gets the ack) so a partition's counters are
-complete before its manifest commits — the atomicity requirement of
-SURVEY.md §7 hard-part (b).
+Counters are **sharded by partition_id** across ``n`` actors so no single
+actor serializes every batch of the cluster (round-1 weak spot): a batch's
+updates split by ``pid % n`` and the per-shard RPCs run in parallel, so the
+per-batch latency stays one RTT while the throughput scales with shards.
+Increments remain synchronous (the stage ray.gets the acks) so a
+partition's counters are complete before its manifest commits — the
+atomicity requirement of SURVEY.md §7 hard-part (b).
 """
 
 from __future__ import annotations
@@ -46,3 +48,36 @@ class CounterActor:
 
     def reset(self, partition_id: int) -> None:
         self._c.pop(partition_id, None)
+
+
+class CounterShards:
+    """Driver/stage-side facade over ``n`` CounterActor shards, routed by
+    ``partition_id % n``. Serializes into map_batches closures (it holds
+    only actor handles)."""
+
+    def __init__(self, n_shards: int = 4):
+        self.n = max(1, int(n_shards))
+        self.shards = [CounterActor.remote() for _ in range(self.n)]
+
+    def incr_many(self, by_partition: dict[int, dict[str, int]]) -> None:
+        """One parallel RPC per touched shard; returns when all acked."""
+        groups: dict[int, dict[int, dict[str, int]]] = {}
+        for pid, counts in by_partition.items():
+            groups.setdefault(pid % self.n, {})[pid] = counts
+        ray.get([self.shards[s].incr_many.remote(g)
+                 for s, g in groups.items()])
+
+    def snapshot(self, partition_id: int) -> dict:
+        return ray.get(
+            self.shards[partition_id % self.n].snapshot.remote(partition_id))
+
+    def totals(self) -> dict[str, int]:
+        out: dict[str, int] = defaultdict(int)
+        for t in ray.get([s.totals.remote() for s in self.shards]):
+            for k, n in t.items():
+                out[k] += n
+        return dict(out)
+
+    def kill(self) -> None:
+        for a in self.shards:
+            ray.kill(a)

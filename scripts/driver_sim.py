@@ -65,6 +65,18 @@ def main():
             o = con.execute(sqls[name]).df()
             a, b = norm(r), norm(o)
             ok_cols = list(a.columns) == list(b.columns)
+            # the real driver's value-hash is representation-sensitive:
+            # int64 vs float64 of equal values still mismatches. Flag
+            # differing dtype KINDS (int vs float vs object vs datetime).
+            if ok_cols and [d.kind for d in a.dtypes] != [d.kind for d in b.dtypes]:
+                results[name] = {"status": "MISMATCH", "rows": len(a),
+                                 "oracle_rows": len(b), "cols_ok": True,
+                                 "dtype_kinds": [f"{c}:{x.kind}!={y.kind}"
+                                                 for c, x, y in
+                                                 zip(a.columns, a.dtypes, b.dtypes)
+                                                 if x.kind != y.kind],
+                                 "sec": round(time.time() - t0, 1)}
+                continue
             ok_rows = len(a) == len(b)
             ok_vals = False
             if ok_cols and ok_rows:

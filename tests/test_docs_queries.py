@@ -103,3 +103,17 @@ def test_multimodal_stages(ray_session):
     # real decode is an explicit stub
     with pytest.raises(NotImplementedError):
         DecodeStage(fake=False)._decode_real(b"x")
+
+
+def test_ivf_partition_pruned_read(ray_session):
+    """The IVF index search must read only the probed cells' files."""
+    import shutil
+    from crawlingathome_server_ray.functions import ann
+    shutil.rmtree("/tmp/graft_ivf", ignore_errors=True)
+    stats = {}
+    out = ann.ivf_topk(SF, n_queries=3, k=5, n_clusters=16, nprobe=2,
+                       stats=stats)
+    assert len(out) > 0
+    assert stats["cells_total"] == 16
+    assert stats["cells_read"] <= 3 * 2          # ≤ n_queries × nprobe
+    assert stats["files_read"] < stats["files_total"]

@@ -26,3 +26,19 @@ def test_frontier_query_matches_oracle(ray_session, name):
     oracle = duckdb.sql(sql).df()
     result = QUERIES[name](SF)
     assert_frames_match(result, oracle, name)
+
+
+def test_dedup_bucketed_equals_broadcast(ray_session):
+    """The distributed bucketed first-wins dedup must produce exactly the
+    rows of the broadcast survivor-set twin."""
+    from crawlingathome_server_ray.pipelines import frontier_core as core
+    from crawlingathome_server_ray.config import DEFAULT_CONFIG
+    ds = core.with_canon(core.pages_ds(SF, ["url", "warc_ts"]),
+                         DEFAULT_CONFIG, light=True).materialize()
+    a = (core.dedup_survivors_bucketed(ds).to_pandas()
+         .sort_values("url_canon").reset_index(drop=True))
+    b = (core.filter_survivors(ds, core.survivor_ts_set(ds)).to_pandas()
+         .sort_values("url_canon").reset_index(drop=True))
+    import pandas as pd
+    cols = ["url", "warc_ts", "url_canon", "host"]
+    pd.testing.assert_frame_equal(a[cols], b[cols])

@@ -100,3 +100,66 @@ def test_worker_name_seeded():
     assert worker_name(42, 0) == worker_name(42, 0)
     assert worker_name(42, 0) != worker_name(42, 1)
     assert "-" in worker_name(42, 0)
+
+
+def test_md5_vectorized_kernel_matches_hashlib():
+    """The DuckDB md5 kernel must be bit-identical to the hashlib loop —
+    the whole oracle-parity story rides on this."""
+    import hashlib
+    import pyarrow as pa
+    from crawlingathome_server_ray.functions.canonicalize import (
+        md5_hash64, md5_hash64_slow, md5_hex, md5_partition)
+    strs = [f"https://h{i}.example.com/p/{i}?q={i*3}" for i in range(2000)]
+    strs += ["", "x" * 300, "ünïcode/π", " "]
+    fast, slow = md5_hash64(strs), md5_hash64_slow(strs)
+    assert (fast == slow).all()
+    for hc in (1, 2):
+        ref = np.array([int(hashlib.md5(s.encode()).hexdigest()[:hc], 16)
+                        for s in strs])
+        assert (md5_partition(strs, hc) == ref).all()
+    hx = md5_hex(pa.array(strs))
+    assert hx[1].as_py() == hashlib.md5(strs[1].encode()).hexdigest()
+    # chunked + sliced arrow inputs (zero-copy paths)
+    ch = pa.chunked_array([pa.array(strs[:50]), pa.array(strs[50:])])
+    assert (md5_hash64(ch) == slow).all()
+    sl = pa.array(strs).slice(7, 100)
+    assert (md5_hash64(sl) == slow[7:107]).all()
+    assert len(md5_hash64([])) == 0 and len(md5_hex([])) == 0
+
+
+def test_politeness_host_precap(ray_session):
+    """Skew guard: one pathological host ≫ all others. With max_rounds the
+    pre-cap must (a) produce exactly the uncapped ranking restricted to
+    fetch_round < max_rounds, (b) leave other hosts' ranks unchanged."""
+    import pandas as pd
+    import ray.data
+    from crawlingathome_server_ray.stages.politeness import politeness_ranked
+    rng = np.random.default_rng(7)
+    n_hot = 5000
+    hot = pd.DataFrame({
+        "host": "hot.example.com",
+        "warc_ts": pd.to_datetime(rng.permutation(n_hot), unit="s"),
+        "url_canon": [f"https://hot.example.com/{i}" for i in range(n_hot)]})
+    cold = pd.DataFrame({
+        "host": [f"h{i}.com" for i in range(20) for _ in range(10)],
+        "warc_ts": pd.to_datetime(np.arange(200), unit="s"),
+        "url_canon": [f"https://h{i}.com/{j}" for i in range(20)
+                      for j in range(10)]})
+    df = pd.concat([hot, cold], ignore_index=True).sample(
+        frac=1.0, random_state=3).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    def norm(x):
+        return x.sort_values(["host", "politeness_rank"]).reset_index(drop=True)
+
+    full = politeness_ranked(ds, budget=3).to_pandas()
+    capped = politeness_ranked(ds, budget=3, max_rounds=2).to_pandas()
+    expect = norm(full[full.fetch_round < 2])
+    got = norm(capped)
+    pd.testing.assert_frame_equal(
+        got[["host", "url_canon", "politeness_rank", "fetch_round"]],
+        expect[["host", "url_canon", "politeness_rank", "fetch_round"]])
+    # hot host capped to budget*max_rounds rows; cold hosts fully present
+    assert (got[got.host == "hot.example.com"].shape[0] == 6)
+    assert (got[got.host != "hot.example.com"].shape[0]
+            == (cold.groupby("host").size().clip(upper=6).sum()))
