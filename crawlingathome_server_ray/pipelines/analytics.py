@@ -326,6 +326,40 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM events p WHERE p.event_type = 'purchase'"""
 
 
+# ---------------------------------------------------------------- range join
+WINDOW_S = 3600
+
+
+def q_events_window_count(sf_dir: str):
+    """Windowed self range-join: for every event, how many events of the
+    same user fall strictly within the preceding hour ``[ts−3600 s, ts)``.
+    The classic bucketed range-join shape: partition by the equality key
+    (user), sort within the partition once, then both window bounds are a
+    vectorized double searchsorted — O(n log n) per group, no pairwise
+    blow-up. Strict ``<`` on both sides makes ties unambiguous."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def window_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        lo = np.searchsorted(us, us - WINDOW_S * 1_000_000, side="left")
+        hi = np.searchsorted(us, us, side="left")
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "n_recent": (hi - lo).astype(np.int64)})
+
+    return ev.groupby("user_id").map_groups(window_count,
+                                            batch_format="pandas")
+
+
+SQL_EVENTS_WINDOW_COUNT = f"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(*) FROM events e2
+         WHERE e2.user_id = e.user_id AND e2.ts < e.ts
+           AND e2.ts >= e.ts - INTERVAL {WINDOW_S} SECOND) AS n_recent
+FROM events e"""
+
+
 # ---------------------------------------------------------------- top-k per group
 def q_top_docs_per_lang(sf_dir: str, k: int = 3):
     """Top-k documents by n_chars per lang (deterministic tiebreak doc_id):
@@ -525,6 +559,7 @@ ANALYTICS_QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_tumbling": q_events_tumbling,
     "events_asof_join": q_events_asof_join,
+    "events_window_count": q_events_window_count,
     "top_docs_per_lang": q_top_docs_per_lang,
     "lineitem_orders_join": q_lineitem_orders_join,
     "completion_counts": q_completion_counts,
@@ -544,6 +579,7 @@ ANALYTICS_SQL = {
     "events_sessionize": SQL_SESSIONIZE,
     "events_tumbling": SQL_TUMBLING,
     "events_asof_join": SQL_EVENTS_ASOF,
+    "events_window_count": SQL_EVENTS_WINDOW_COUNT,
     "top_docs_per_lang": SQL_TOP_DOCS,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
     "completion_counts": SQL_COMPLETION,

@@ -15,7 +15,7 @@ import ray
 import ray.data
 
 from ..functions import ann
-from ..functions.canonicalize import md5_hex
+from ..functions.canonicalize import md5_hash64, md5_hex
 from ..functions.dedup import (connected_components, hamming64, jaccard,
                                minhash_batch, pairs_from_groups,
                                simhash_batch, simhash_chunks)
@@ -123,6 +123,16 @@ def _join_partitions(cap: int = 16) -> int:
     return max(2, min(cap, cpus // 2))
 
 
+def _pair_bucket(a: np.ndarray, b: np.ndarray,
+                 n_buckets: int = N_LSH_BUCKETS) -> np.ndarray:
+    """Shuffle key for (a, b) id-pair dedup: every duplicate of a pair —
+    emitted by different LSH bands — lands in the same bucket."""
+    from ..functions.dedup import _splitmix
+    mixed = _splitmix(a.astype(np.uint64)
+                      ^ _splitmix(b.astype(np.uint64)))
+    return (mixed % np.uint64(n_buckets)).astype(np.int32)
+
+
 def _lsh_bucket(band_id, band_hash) -> np.ndarray:
     """Shuffle key: whole (band_id, band_hash) groups land in one bucket,
     so a groupby over ~64 int buckets replaces a groupby over ~16·n_docs
@@ -150,11 +160,12 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
     5. cluster: union-find over the verified pairs ONLY (tiny) on the
        driver — the one legitimately driver-sized artifact.
     """
-    from ray.data.aggregate import Count
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # sketch batches are smaller than the generic BATCH so a small corpus
+    # still fans out across the pool (sketching is the compute-heavy stage)
     bands_ds = ds.map_batches(
         lambda df: minhash_batch(df, n_perm=n_perm, bands=bands),
-        batch_format="pandas", batch_size=BATCH)
+        batch_format="pandas", batch_size=1024)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["bucket"] = _lsh_bucket(df["band_id"].to_numpy(),
@@ -166,13 +177,19 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
             [g["band_id"].to_numpy(np.int32),
              g["band_hash"].to_numpy(np.uint64)],
             g["doc_id"].to_numpy(np.int64))
-        return pd.DataFrame({"a_id": a, "b_id": b})
+        # pair_bucket: cross-band duplicate pairs co-locate for the dedup
+        # groupby (bucketed map_groups beats Ray's Aggregate operator by
+        # ~1.5 s of fixed cost at this scale, same asymptotics)
+        return pd.DataFrame({"a_id": a, "b_id": b,
+                             "pair_bucket": _pair_bucket(a, b)})
 
     cand = (bands_ds.map_batches(add_bucket, batch_format="pandas",
                                  batch_size=65536)
             .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
-            .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="n"))
-            .select_columns(["a_id", "b_id"])
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
+                        [["a_id", "b_id"]],
+                        batch_format="pandas")
             .materialize())  # candidate pairs only — ≪ corpus at any scale
     if cand.count() == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -220,10 +237,9 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     simhash values travel with the rows, so verification happens in the
     same map_groups — no second pass) → distributed cross-chunk pair dedup.
     The driver receives only the final verified pairs."""
-    from ray.data.aggregate import Count
     ds = _docs(sf_dir, ["doc_id", "text"])
     sh_ds = ds.map_batches(simhash_batch, batch_format="pandas",
-                           batch_size=BATCH)
+                           batch_size=1024)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
@@ -244,20 +260,144 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
             g["doc_id"].to_numpy(np.int64),
             payload=g["simhash"].to_numpy(np.uint64))
         ok = hamming64(ha, hb) <= max_hamming
-        return pd.DataFrame({"a_id": a[ok], "b_id": b[ok]})
+        return pd.DataFrame({"a_id": a[ok], "b_id": b[ok],
+                             "pair_bucket": _pair_bucket(a[ok], b[ok])})
 
     pairs = (sh_ds.map_batches(explode, batch_format="pandas",
                                batch_size=65536)
              .groupby("bucket").map_groups(emit_verified,
                                            batch_format="pandas")
-             .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="n"))
-             .select_columns(["a_id", "b_id"]))
+             .groupby("pair_bucket")
+             .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
+                         [["a_id", "b_id"]],
+                         batch_format="pandas"))
     out = pairs.to_pandas()  # final verified pairs only
     if out.empty:
         return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
                              "b_id": pd.array([], dtype="int64")})
     return (out.astype({"a_id": "int64", "b_id": "int64"})
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------- corpus stats
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact per-language discrete quantiles of doc length. Languages are
+    whole groups (few, bounded), so groupby(lang).map_groups computes the
+    exact order statistic; the rule matches DuckDB's quantile_disc:
+    element at 1-based rank ceil(q·n)."""
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy(dtype=np.int64))
+        n = len(v)
+        row = {"lang": g["lang"].iloc[0]}
+        for q in QUANTILES:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            row[f"p{int(q * 100)}"] = v[idx]
+        return pd.DataFrame([row])
+
+    out = ds.groupby("lang").map_groups(quants, batch_format="pandas")
+    return out
+
+
+SQL_DOC_QUANTILES = """
+SELECT lang,
+       quantile_disc(n_chars, 0.50) AS p50,
+       quantile_disc(n_chars, 0.90) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang"""
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: per-language rates (1/16 for the
+    dominant 'en' stratum, 4/16 otherwise) keyed on md5(doc_id) — the
+    downsample-the-head / keep-the-tail shape of training-data curation.
+    Rides the vectorized md5 kernel; fully streaming, no shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        nib = md5_hash64(np.char.mod("%d", ids)) >> np.uint64(60)
+        is_en = np.asarray(pc.equal(b.column("lang"), "en"))
+        keep = np.where(is_en, nib == 0, nib < 4)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_DOC_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE CASE WHEN lang = 'en'
+      THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      END"""
+
+
+TOP_BIGRAMS_K = 50
+
+
+def q_top_bigrams(sf_dir: str, k: int = TOP_BIGRAMS_K, n_buckets: int = 64):
+    """Global top-k token bigrams: per-batch partial counts (one Arrow
+    split + vectorized pandas concat/value_counts) → bucketed groupby
+    (bigrams hash-bucketed, so per-bucket totals are exact and the global
+    top-k is a subset of the union of per-bucket top-ks) → tiny driver
+    merge of ≤ n_buckets·k rows."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(texts)
+        flat = lists.flatten()
+        raw_counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(raw_counts)), raw_counts)
+        keep = np.asarray(pc.not_equal(flat, ""))
+        toks = np.asarray(flat, dtype=object)[keep]
+        doc_of = doc_of[keep]
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        adj = doc_of[:-1] == doc_of[1:]
+        big = (pd.Series(toks[:-1][adj]).str
+               .cat(pd.Series(toks[1:][adj]), sep=" "))
+        vc = big.value_counts()
+        grams = vc.index.to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(grams) % n_buckets).astype(np.int32)
+        return pa.table({"bigram": pa.array(grams, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("bigram", sort=False)["n"].sum().reset_index()
+        tot = tot.sort_values(["n", "bigram"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return tot[["bigram", "n"]]
+
+    per_bucket = (ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=BATCH)
+                  .groupby("bucket").map_groups(bucket_topk,
+                                                batch_format="pandas"))
+    merged = per_bucket.to_pandas()  # ≤ n_buckets × k rows
+    merged = merged.sort_values(["n", "bigram"], ascending=[False, True],
+                                kind="mergesort").head(k).reset_index(drop=True)
+    return merged.astype({"n": "int64"})
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT d.toks[t.i] || ' ' || d.toks[t.i + 1] AS bigram, count(*) AS n
+FROM d, LATERAL unnest(range(1, len(d.toks))) AS t(i)
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT {TOP_BIGRAMS_K}"""
 
 
 # ---------------------------------------------------------------- embeddings
@@ -333,6 +473,9 @@ DOCS_QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "doc_stratified_sample": q_doc_stratified_sample,
+    "top_bigrams": q_top_bigrams,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -346,6 +489,9 @@ DOCS_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
+    "doc_length_quantiles": SQL_DOC_QUANTILES,
+    "doc_stratified_sample": SQL_DOC_STRATIFIED,
+    "top_bigrams": SQL_TOP_BIGRAMS,
     "ann_topk": SQL_ANN_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     # fingerprint / minhash / simhash / ivf: rows-only (non-SQL sketches)
