@@ -27,6 +27,11 @@ class PipelineConfig:
     # politeness: max URLs fetched per host per round (budget), ordering
     # within a host is (warc_ts, url) ascending.
     politeness_budget: int = 3
+    # optional crawl-horizon cap: schedule only the first N politeness
+    # rounds per host (budget×N URLs). Applied as a pre-shuffle per-batch
+    # top-k (stages/politeness.py) — the Zipf-host skew guard. None =
+    # rank everything (refsim-golden default).
+    politeness_max_rounds: int | None = None
 
     # URL-seen bloom filter: shard count and bits per shard. Hash-sharded by
     # url_hash % n_seen_shards; each shard is one Ray actor (≙ the reference's

@@ -432,6 +432,13 @@ def q_cosine_near_dup(sf_dir: str):
                                      threshold=COSINE_DUP_THRESHOLD)
 
 
+def q_cosine_near_dup_ivf(sf_dir: str):
+    """IVF-cell all-pairs variant (rows-only; recall vs the exact
+    broadcast variant asserted in pytest)."""
+    return ann.cosine_near_dup_ivf(sf_dir, threshold=COSINE_DUP_THRESHOLD,
+                                   limit_ids=1000)
+
+
 SQL_COSINE_NEAR_DUP = f"""
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM embeddings a, embeddings b
@@ -481,6 +488,7 @@ DOCS_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_near_dup": q_cosine_near_dup,
+    "cosine_near_dup_ivf": q_cosine_near_dup_ivf,
     "binary_meta": q_binary_meta,
 }
 

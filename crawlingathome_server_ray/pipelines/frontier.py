@@ -297,7 +297,8 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         slim = slim.map_batches(add_priority, batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
         ranked = politeness_ranked(slim, cfg.politeness_budget,
-                                   order=("priority", "url_canon"))
+                                   order=("priority", "url_canon"),
+                                   max_rounds=cfg.politeness_max_rounds)
         ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
         tp = _mark("politeness", tp)
 

@@ -117,3 +117,15 @@ def test_ivf_partition_pruned_read(ray_session):
     assert stats["cells_total"] == 16
     assert stats["cells_read"] <= 3 * 2          # ≤ n_queries × nprobe
     assert stats["files_read"] < stats["files_total"]
+
+
+def test_cosine_near_dup_ivf_recall(ray_session):
+    """IVF-cell near-dup pairs: no false positives (every pair really is
+    ≥ threshold) and recall ≥ 0.5 vs the exact broadcast variant."""
+    exact = to_pandas(dq.q_cosine_near_dup(SF))
+    ivf = to_pandas(dq.q_cosine_near_dup_ivf(SF))
+    ex = set(zip(exact["a_id"].astype(int), exact["b_id"].astype(int)))
+    iv = set(zip(ivf["a_id"].astype(int), ivf["b_id"].astype(int)))
+    assert iv <= ex, f"false positives: {sorted(iv - ex)[:5]}"
+    if ex:
+        assert len(iv & ex) / len(ex) >= 0.5, (len(iv & ex), len(ex))
