@@ -80,9 +80,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("lineitem_agg", lambda: consume(ANALYTICS_QUERIES["lineitem_agg"](sf_dir)))
     timed("leaderboard_topk", lambda: consume(ANALYTICS_QUERIES["leaderboard_topk"](sf_dir)))
     timed("eta_window", lambda: consume(ANALYTICS_QUERIES["eta_window"](sf_dir)))
+    timed("events_window_count",
+          lambda: consume(ANALYTICS_QUERIES["events_window_count"](sf_dir)))
     timed("doc_dedup_exact", lambda: consume(dq.q_doc_dedup_exact(sf_dir)))
     timed("minhash_dedup", lambda: consume(dq.q_minhash_dedup(sf_dir)))
+    timed("simhash_pairs", lambda: consume(dq.q_simhash_pairs(sf_dir)))
+    timed("top_bigrams", lambda: consume(dq.q_top_bigrams(sf_dir)))
     timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
+    timed("cosine_near_dup_ivf",
+          lambda: consume(dq.q_cosine_near_dup_ivf(sf_dir)))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)

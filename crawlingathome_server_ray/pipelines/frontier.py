@@ -298,7 +298,8 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                 batch_size=cfg.batch_size)
         ranked = politeness_ranked(slim, cfg.politeness_budget,
                                    order=("priority", "url_canon"),
-                                   max_rounds=cfg.politeness_max_rounds)
+                                   max_rounds=cfg.politeness_max_rounds,
+                                   align_col="partition_id")
         ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
         tp = _mark("politeness", tp)
 

@@ -93,7 +93,9 @@ def local_host_topk(t: pa.Table, cap: int,
 
 def politeness_ranked(ds: Dataset, budget: int,
                       order: tuple[str, ...] = DEFAULT_ORDER,
-                      max_rounds: int | None = None) -> Dataset:
+                      max_rounds: int | None = None,
+                      align_col: str | None = None,
+                      sub_buckets: int = 16) -> Dataset:
     """Per-host rank + fetch_round columns via a bucketed groupby shuffle.
 
     ``max_rounds``: optionally keep only URLs scheduled in the first
@@ -118,11 +120,25 @@ def politeness_ranked(ds: Dataset, budget: int,
     ``order`` is the within-host priority. The flagship pipeline uses
     ``("url_canon",)`` so ranks are invariant to which duplicate row survived
     the streaming bloom filter (survivor arrival order is nondeterministic;
-    the canonical URL is not)."""
+    the canonical URL is not).
+
+    ``align_col``: bucket = align_col·sub_buckets + hash(host)%sub_buckets,
+    so every output block belongs to exactly ONE value of ``align_col``.
+    The flagship passes "partition_id" (hosts already map 1:1 to
+    partitions), which makes the downstream hive-partitioned schedule
+    write emit ~sub_buckets files per partition instead of splitting every
+    one of the 256 hash buckets across all partitions (measured 512 → 45
+    files on a 2.4M-row wave; same wall-time, far fewer small files for
+    the object store / downstream pruned reads at scale)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         hosts = np.asarray(batch.column("host"))
-        b = (pd.util.hash_array(hosts) % N_BUCKETS).astype(np.int32)
+        h = pd.util.hash_array(hosts)
+        if align_col is not None:
+            a = np.asarray(batch.column(align_col)).astype(np.int64)
+            b = (a * sub_buckets + (h % sub_buckets)).astype(np.int32)
+        else:
+            b = (h % N_BUCKETS).astype(np.int32)
         return batch.append_column("host_bucket", pa.array(b, pa.int32()))
 
     if max_rounds is not None:
