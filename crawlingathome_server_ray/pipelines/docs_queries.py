@@ -279,6 +279,90 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
+# ---------------------------------------------------------------- curation
+CURATE_MIN_CHARS = 100
+CURATE_MIN_TOKENS = 20
+
+
+def q_docs_curated(sf_dir: str, n_buckets: int = 64):
+    """The composite curation pipeline a training-data user actually runs,
+    end to end in one streaming chain: quality gate (length/token floors)
+    → language ID (keep identified) → exact first-wins dedup by content
+    (bucketed one-shuffle, min doc_id wins) → deterministic 1/2 sample on
+    md5(doc_id). Output (doc_id, lang_pred, n_tokens); every step is
+    SQL-expressible so the WHOLE composite verifies against one DuckDB
+    oracle."""
+    from ..functions.text import langid_batch
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_chars = pc.utf8_length(txt).cast(pa.int64())
+        n_tokens = pc.list_value_length(
+            pc.utf8_split_whitespace(txt)).cast(pa.int64())
+        lang = langid_batch(b).column("lang_pred")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(n_chars, CURATE_MIN_CHARS),
+                    pc.greater_equal(n_tokens, CURATE_MIN_TOKENS)),
+            pc.not_equal(lang, "unknown"))
+        t = pa.table({"doc_id": b.column("doc_id"),
+                      "text_h": md5_hex(txt),
+                      "lang_pred": lang, "n_tokens": n_tokens}).filter(keep)
+        hh = pd.util.hash_array(np.asarray(t.column("text_h")))
+        return t.append_column(
+            "bucket", pa.array((hh % n_buckets).astype(np.int32), pa.int32()))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_h", "doc_id"], kind="mergesort")
+        return g[~g["text_h"].duplicated()].drop(columns=["bucket", "text_h"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        nib = md5_hash64(np.char.mod("%d", ids)) >> np.uint64(60)
+        return b.filter(pa.array(nib < 8)).select(
+            ["doc_id", "lang_pred", "n_tokens"])
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
+            .groupby("bucket").map_groups(first_wins, batch_format="pandas")
+            .map_batches(sample, batch_format="pyarrow", batch_size=65536))
+
+
+SQL_DOCS_CURATED = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         ' ' || text || ' ' AS p
+  FROM documents
+  WHERE length(text) >= {CURATE_MIN_CHARS}
+    AND len(regexp_split_to_array(trim(text), '\\s+')) >= {CURATE_MIN_TOKENS}),
+c AS (
+  SELECT doc_id, text, n_tokens,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+    CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS BIGINT) AS c_de,
+    CAST((length(p) - length(replace(p, ' les ', ''))) / 5 AS BIGINT) AS c_fr,
+    CAST((length(p) - length(replace(p, ' por ', ''))) / 5 AS BIGINT) AS c_es
+  FROM f),
+l AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+         WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+         WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+         WHEN c_es > 0 THEN 'es'
+         ELSE 'unknown' END AS lang_pred
+  FROM c),
+d AS (
+  SELECT doc_id, lang_pred, n_tokens,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM l WHERE lang_pred <> 'unknown')
+SELECT doc_id, lang_pred, n_tokens FROM d
+WHERE rn = 1
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      IN ('0','1','2','3','4','5','6','7')"""
+
+
 # ---------------------------------------------------------------- corpus stats
 QUANTILES = (0.5, 0.9, 0.99)
 
@@ -482,6 +566,7 @@ DOCS_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "docs_curated": q_docs_curated,
     "top_bigrams": q_top_bigrams,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -499,6 +584,7 @@ DOCS_SQL = {
     "doc_langid": SQL_DOC_LANGID,
     "doc_length_quantiles": SQL_DOC_QUANTILES,
     "doc_stratified_sample": SQL_DOC_STRATIFIED,
+    "docs_curated": SQL_DOCS_CURATED,
     "top_bigrams": SQL_TOP_BIGRAMS,
     "ann_topk": SQL_ANN_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
