@@ -47,6 +47,7 @@ _FRONTIER_QUERIES = {
     "dispatch_order": _fq.q_dispatch_order,
     "extract_text": _fq.q_extract_text,
     "frontier_counters": _fq.q_frontier_counters,
+    "host_heavy_hitters": _fq.q_host_heavy_hitters,
     "url_distinct_hll": _fq.q_url_distinct_hll,  # rows-only (approximate)
 }
 

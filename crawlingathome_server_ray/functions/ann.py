@@ -219,16 +219,19 @@ def cosine_near_dup_ivf(sf_dir: str, threshold: float = 0.4,
     if limit_ids is not None:
         ds = ds.filter(expr=f"vec_id < {limit_ids}")
 
-    def assign(batch: pa.Table) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         ids, m = _emb_matrix(batch)
         mn = normalize_rows(m)
         sims = mn @ ray.get(cent_ref).T
         cells = np.argsort(-sims, axis=1)[:, :n_assign]        # (n, a)
-        n = len(ids)
-        return pd.DataFrame({
-            "cell": cells.reshape(-1).astype(np.int32),
-            "vec_id": np.repeat(ids, n_assign),
-            "embedding": [row for row in mn for _ in range(n_assign)]})
+        dim = mn.shape[1]
+        rep = np.repeat(mn, n_assign, axis=0)                  # (n·a, dim)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.reshape(-1), pa.float64()), dim)
+        return pa.table({
+            "cell": pa.array(cells.reshape(-1).astype(np.int32), pa.int32()),
+            "vec_id": pa.array(np.repeat(ids, n_assign), pa.int64()),
+            "embedding": emb})
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy(np.int64)

@@ -83,3 +83,107 @@ def hll_distinct(ds, column: str, p: int = 14) -> float:
         for s in b.column("sketch").to_pylist():
             total.merge(HyperLogLog.deserialize(s))
     return total.estimate()
+
+
+class MisraGries:
+    """Mergeable Misra-Gries heavy-hitters sketch (Misra & Gries 1982;
+    mergeability per Agarwal et al. 2013): with capacity k, the estimated
+    count of any key is within n/(k+1) of the true count, so every key
+    with true frequency > n/(k+1) is guaranteed to survive — the sketch
+    finds CANDIDATES with no false negatives, and an exact counting pass
+    over just those candidates makes the final answer exact."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.counts: dict = {}
+
+    def add_values(self, values: np.ndarray) -> None:
+        """Batch update: pre-aggregate the batch (vectorized value_counts)
+        then merge — equivalent to item-at-a-time MG with the same bound."""
+        import pandas as pd
+        vc = pd.Series(values).value_counts()
+        for key, n in vc.items():
+            self.counts[key] = self.counts.get(key, 0) + int(n)
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for key, n in other.counts.items():
+            self.counts[key] = self.counts.get(key, 0) + int(n)
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.sort(np.fromiter(self.counts.values(), dtype=np.int64))
+        dec = int(vals[-(self.k + 1)])  # (k+1)-th largest
+        self.counts = {key: n - dec for key, n in self.counts.items()
+                       if n > dec}
+
+    def candidates(self) -> list:
+        return sorted(self.counts, key=lambda key: (-self.counts[key], key))
+
+    def serialize(self) -> bytes:
+        import pickle
+        return pickle.dumps((self.k, self.counts))
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "MisraGries":
+        import pickle
+        k, counts = pickle.loads(b)
+        mg = cls(k)
+        mg.counts = counts
+        return mg
+
+
+def heavy_hitters_exact(ds, column: str, phi: float, k: int = 256):
+    """EXACT keys with frequency > phi·n, computed without a full groupby:
+    (1) one MG sketch per batch → driver merge (KB-sized messages; no
+    false negatives while k+1 > 1/phi); (2) exact counts for the ≤k
+    candidate keys via a broadcast is_in filter + per-batch partial counts
+    (the shuffle carries ≤ k rows per block); (3) threshold on the exact
+    counts. Returns a pandas DataFrame (key, n) — exactly the SQL
+    ``GROUP BY key HAVING count(*) > phi*n`` result."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    assert k + 1 > 1.0 / phi, "MG capacity too small for phi (false negatives)"
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        mg.add_values(np.asarray(batch.column(column)))
+        return pa.table({"sketch": pa.array([mg.serialize()], pa.binary()),
+                         "n_rows": pa.array([batch.num_rows], pa.int64())})
+
+    total = MisraGries(k)
+    n_total = 0
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow",
+                            batch_size=65536).iter_batches(
+            batch_format="pyarrow", batch_size=1024):
+        n_total += int(pc.sum(b.column("n_rows")).as_py() or 0)
+        for s in b.column("sketch").to_pylist():
+            total.merge(MisraGries.deserialize(s))
+    cand = total.candidates()
+    if not cand or n_total == 0:
+        return pd.DataFrame({column: pd.array([], dtype="object"),
+                             "n_urls": pd.array([], dtype="int64")})
+    cand_ref = ray.put(pa.array(cand))
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        keys = ray.get(cand_ref)
+        col = batch.column(column)
+        hit = batch.filter(pc.is_in(col, value_set=keys))
+        vc = pd.Series(np.asarray(hit.column(column))).value_counts()
+        return pa.table({column: pa.array(vc.index.to_numpy(dtype=object),
+                                          pa.string()),
+                         "n_urls": pa.array(vc.to_numpy(), pa.int64())})
+
+    partials = ds.map_batches(count_cand, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    exact = (partials.groupby(column, sort=False)["n_urls"].sum()
+             .reset_index())
+    out = exact[exact["n_urls"] > phi * n_total]
+    return (out.sort_values(["n_urls", column], ascending=[False, True])
+            .reset_index(drop=True).astype({"n_urls": "int64"}))

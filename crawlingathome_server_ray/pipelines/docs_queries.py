@@ -368,23 +368,40 @@ QUANTILES = (0.5, 0.9, 0.99)
 
 
 def q_doc_length_quantiles(sf_dir: str):
-    """Exact per-language discrete quantiles of doc length. Languages are
-    whole groups (few, bounded), so groupby(lang).map_groups computes the
-    exact order statistic; the rule matches DuckDB's quantile_disc:
-    element at 1-based rank ceil(q·n)."""
+    """Exact per-language discrete quantiles of doc length via a
+    value-count histogram: per-batch partial (lang, n_chars, n) counts →
+    groupby(lang) over the SHRUNK histogram (≤ |distinct lengths| rows per
+    lang, never the rows themselves) → quantile from the cumulative
+    counts. Exact at any corpus size because the histogram domain is
+    bounded, unlike sorting the group. The rank rule matches DuckDB's
+    quantile_disc: element at 1-based rank ceil(q·n)."""
     ds = _docs(sf_dir, ["lang", "n_chars"])
 
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "n_chars"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
     def quants(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["n_chars"].to_numpy(dtype=np.int64))
-        n = len(v)
-        row = {"lang": g["lang"].iloc[0]}
+        g = (g.groupby("n_chars", sort=True)["n"].sum()).reset_index()
+        vals = g["n_chars"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        row = {"lang": None}
         for q in QUANTILES:
-            idx = max(0, int(np.ceil(q * n)) - 1)
-            row[f"p{int(q * 100)}"] = v[idx]
+            rank = max(1, int(np.ceil(q * n)))
+            row[f"p{int(q * 100)}"] = vals[np.searchsorted(cum, rank)]
         return pd.DataFrame([row])
 
-    out = ds.groupby("lang").map_groups(quants, batch_format="pandas")
-    return out
+    def quants_with_lang(g: pd.DataFrame) -> pd.DataFrame:
+        out = quants(g)
+        out["lang"] = g["lang"].iloc[0]
+        return out[["lang", "p50", "p90", "p99"]]
+
+    return (ds.map_batches(partial, batch_format="pandas", batch_size=BATCH)
+            .groupby("lang").map_groups(quants_with_lang,
+                                        batch_format="pandas"))
 
 
 SQL_DOC_QUANTILES = """

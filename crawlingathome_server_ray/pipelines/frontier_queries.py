@@ -91,6 +91,20 @@ def q_url_distinct_hll(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     return pd.DataFrame({"n_distinct_est": pd.array([int(round(est))], "int64")})
 
 
+HH_PHI = 0.01  # heavy-hitter threshold: hosts holding > 1% of the frontier
+
+
+def q_host_heavy_hitters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """EXACT hosts with > φ·n frontier rows WITHOUT a full groupby(host):
+    mergeable Misra-Gries sketches per batch (KB messages, no false
+    negatives at k+1 > 1/φ) find ≤k candidates; a broadcast is_in pass
+    counts exactly those; threshold on exact counts ⇒ identical to SQL
+    ``GROUP BY host HAVING count(*) > φ·n``. The pattern that replaces a
+    10^9-host shuffle with two streaming passes at 100 TB."""
+    from ..functions.sketches import heavy_hitters_exact
+    return heavy_hitters_exact(_slim(sf_dir, cfg), "host", HH_PHI, k=256)
+
+
 def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     ds = _slim(sf_dir, cfg)
     n_pages = ds.count()

@@ -80,6 +80,11 @@ SELECT url, warc_ts,
        substr(decode(html), 16, octet_length(html) - 33) AS text_extracted
 FROM read_parquet('{pages_path}/*.parquet')""",
 
+        "host_heavy_hitters": cte + """
+SELECT host, count(*) AS n_urls FROM canon
+GROUP BY host
+HAVING count(*) > (SELECT count(*) FROM canon) * 0.01""",
+
         "frontier_counters": cte + f"""
 SELECT (SELECT count(*) FROM canon)  AS n_pages,
        (SELECT count(*) FROM dedup)  AS n_unique,

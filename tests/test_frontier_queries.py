@@ -17,6 +17,7 @@ QUERIES = {
     "dispatch_order": fq.q_dispatch_order,
     "extract_text": fq.q_extract_text,
     "frontier_counters": fq.q_frontier_counters,
+    "host_heavy_hitters": fq.q_host_heavy_hitters,
 }
 
 
