@@ -423,6 +423,80 @@ WHERE o.o_orderstatus = 'O'
 GROUP BY o.o_orderpriority"""
 
 
+# ---------------------------------------------------------------- Q3 shape
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-way customer ⋈ orders ⋈ lineitem with date
+    filters → revenue per order → top 10. Customer is the dimension side
+    (broadcast semi-join via pc.is_in — never shuffled); orders⋈lineitem
+    is the large×large native hash join; revenue in integer cents for
+    bit-exact parallel aggregation."""
+    cutoff = np.datetime64(Q3_CUTOFF, "us").astype("datetime64[us]")
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+            .filter(expr="c_mktsegment == 'BUILDING'").to_pandas())
+    keys_ref = ray.put(pa.array(cust["c_custkey"].to_numpy(dtype=np.int64),
+                                pa.int64()))
+
+    def orders_filter(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        keep = pc.and_(pc.less(ts, pa.scalar(cutoff)),
+                       pc.is_in(b.column("o_custkey"),
+                                value_set=ray.get(keys_ref)))
+        return b.filter(keep).select(["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"])
+              .map_batches(orders_filter, batch_format="pyarrow",
+                           batch_size=BATCH))
+
+    def li_cents(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate")
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        b = b.filter(pc.greater(ship, pa.scalar(cutoff)))
+        disc_price = pc.multiply(b.column("l_extendedprice"),
+                                 pc.subtract(1.0, b.column("l_discount")))
+        cents = pc.floor(pc.add(pc.multiply(disc_price, 100.0),
+                                0.5)).cast(pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "disc_cents": cents})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+          .map_batches(li_cents, batch_format="pyarrow", batch_size=BATCH))
+
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("disc_cents", alias_name="revenue_cents")))
+    return (agg.sort(["revenue_cents", "o_orderdate", "l_orderkey"],
+                     descending=[True, False, False]).limit(10)
+            .select_columns(["l_orderkey", "o_orderdate", "o_orderpriority",
+                             "revenue_cents"]))
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
+
 # ---------------------------------------------------------------- bench workhorse
 def q_lineitem_agg(sf_dir: str):
     """TPC-H Q1-flavoured wide aggregate (integer-cents for determinism)."""
@@ -562,6 +636,7 @@ ANALYTICS_QUERIES = {
     "events_window_count": q_events_window_count,
     "top_docs_per_lang": q_top_docs_per_lang,
     "lineitem_orders_join": q_lineitem_orders_join,
+    "shipping_priority": q_shipping_priority,
     "completion_counts": q_completion_counts,
     "clients_per_type": q_clients_per_type,
     "leaderboard_topk": q_leaderboard_topk,
@@ -582,6 +657,7 @@ ANALYTICS_SQL = {
     "events_window_count": SQL_EVENTS_WINDOW_COUNT,
     "top_docs_per_lang": SQL_TOP_DOCS,
     "lineitem_orders_join": SQL_LINEITEM_ORDERS_JOIN,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "completion_counts": SQL_COMPLETION,
     "clients_per_type": SQL_CLIENTS,
     "leaderboard_topk": SQL_LEADERBOARD,
