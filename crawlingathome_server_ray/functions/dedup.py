@@ -114,14 +114,17 @@ def minhash_signatures(texts, n_perm: int = 64, k: int = 3,
     sig = np.full((n, n_perm), _U64_MAX, dtype=np.uint64)
     if len(sh) == 0:
         return sig
-    starts = soffs[:-1]
-    empty = np.diff(soffs) == 0
-    safe_starts = np.minimum(starts, len(sh) - 1)
+    # reduceat ONLY over non-empty docs' starts: an empty doc shares its
+    # start with the next doc, and clipping it would silently truncate the
+    # PRECEDING doc's segment (found by hypothesis). Non-empty starts are
+    # strictly increasing and in-range by construction.
+    nonempty = np.diff(soffs) > 0
+    starts_ne = soffs[:-1][nonempty]
     for p0 in range(0, n_perm, perm_chunk):
         ip = np.arange(p0, min(p0 + perm_chunk, n_perm), dtype=np.uint64)
         grid = _splitmix(sh[:, None] + ip[None, :] * _GOLD)
-        sig[:, p0:p0 + len(ip)] = np.minimum.reduceat(grid, safe_starts, axis=0)
-    sig[empty] = _U64_MAX
+        sig[nonempty, p0:p0 + len(ip)] = np.minimum.reduceat(
+            grid, starts_ne, axis=0)
     return sig
 
 
@@ -190,17 +193,20 @@ def simhash_many(texts) -> np.ndarray:
     for d0 in range(0, n, step):
         d1 = min(n, d0 + step)
         lo, hi = offs[d0], offs[d1]
-        if hi == lo:
+        ne = nonempty[d0:d1]
+        if hi == lo or not ne.any():
             continue
         bits = np.unpackbits(h[lo:hi].view(np.uint8).reshape(-1, 8),
                              axis=1, bitorder="little").astype(np.uint16)
-        starts = np.minimum(offs[d0:d1] - lo, hi - lo - 1)
-        cnt = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
-        vote = 2 * cnt > counts[d0:d1, None]
+        # reduceat only over non-empty docs' starts — a clipped empty-doc
+        # start would truncate the preceding doc's segment (hypothesis)
+        starts_ne = offs[d0:d1][ne] - lo
+        cnt = np.add.reduceat(bits, starts_ne, axis=0).astype(np.int64)
+        vote = 2 * cnt > counts[d0:d1][ne, None]
         packed = np.packbits(vote, axis=1, bitorder="little")
-        vals = packed.view(np.uint64).reshape(-1)
-        seg = nonempty[d0:d1]
-        out[d0:d1] = np.where(seg, vals, np.uint64(0))
+        vals = np.zeros(d1 - d0, dtype=np.uint64)
+        vals[ne] = packed.view(np.uint64).reshape(-1)
+        out[d0:d1] = vals
     return out
 
 

@@ -83,3 +83,17 @@ def test_totals_accumulate(tmp_path):
         m.transition(pid, LEASED)
         m.transition(pid, CLOSED, counters={"urls_fetched": 5, "robots_blocked": 1})
     assert m.totals() == {"urls_fetched": 10, "robots_blocked": 2}
+
+
+def test_counter_shards_routing(ray_session):
+    """Increments route by pid % n and totals/snapshots merge across
+    shards exactly."""
+    from crawlingathome_server_ray.state.counters import CounterShards
+    cs = CounterShards(3)
+    cs.incr_many({0: {"a": 1}, 1: {"a": 2, "b": 5}, 4: {"a": 10}})
+    cs.incr_many({1: {"a": 3}})
+    assert cs.snapshot(1) == {"a": 5, "b": 5}
+    assert cs.snapshot(4) == {"a": 10}
+    assert cs.snapshot(99) == {}
+    assert cs.totals() == {"a": 16, "b": 5}
+    cs.kill()

@@ -163,3 +163,66 @@ def test_politeness_host_precap(ray_session):
     assert (got[got.host == "hot.example.com"].shape[0] == 6)
     assert (got[got.host != "hot.example.com"].shape[0]
             == (cold.groupby("host").size().clip(upper=6).sum()))
+
+
+_texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60),
+    min_size=0, max_size=12)
+
+
+@given(_texts)
+@settings(max_examples=60, deadline=None)
+def test_batch_sketching_matches_per_doc(texts):
+    """The whole-batch vectorized sketching (one split + reduceat over doc
+    segments) must equal the per-doc computation for every doc — catches
+    segment-boundary off-by-ones across adjacent docs."""
+    from crawlingathome_server_ray.functions.dedup import (
+        _splitmix, batch_shingle_hashes, batch_token_hashes, hash_tokens,
+        simhash_many)
+    h, offs = batch_token_hashes(texts)
+    for i, t in enumerate(texts):
+        ref = hash_tokens(t.split())
+        got = h[offs[i]:offs[i + 1]]
+        assert len(ref) == len(got) and (ref == got).all(), (i, t)
+
+    # simhash vs an independent per-doc majority-vote reference
+    sm = simhash_many(texts)
+    for i, t in enumerate(texts):
+        th = hash_tokens(t.split())
+        if len(th) == 0:
+            assert sm[i] == np.uint64(0)
+            continue
+        want = np.uint64(0)
+        for j in range(64):
+            bits = ((th >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            if (2 * bits - 1).sum() > 0:
+                want |= np.uint64(1) << np.uint64(j)
+        assert sm[i] == want, (i, t)
+
+    # minhash signatures: batch vs one-doc-at-a-time (no cross-doc
+    # boundaries in the latter — catches reduceat segment corruption)
+    from crawlingathome_server_ray.functions.dedup import minhash_signatures
+    sig = minhash_signatures(texts, n_perm=16)
+    for i, t in enumerate(texts):
+        solo = minhash_signatures([t], n_perm=16)[0]
+        assert (sig[i] == solo).all(), (i, t)
+
+    # shingle folds vs a per-doc scalar fold (k=3 incl. the short-doc rule)
+    sh, soffs = batch_shingle_hashes(h, offs, k=3)
+    for i, t in enumerate(texts):
+        th = hash_tokens(t.split())
+        want = []
+        if 0 < len(th) < 3:
+            acc = th[0]
+            for x in th[1:]:
+                acc = _splitmix(np.array([acc ^ x], dtype=np.uint64))[0]
+            want = [acc]
+        else:
+            for s0 in range(len(th) - 2):
+                acc = th[s0]
+                for x in th[s0 + 1:s0 + 3]:
+                    acc = _splitmix(np.array([acc ^ x], dtype=np.uint64))[0]
+                want.append(acc)
+        got = sh[soffs[i]:soffs[i + 1]]
+        assert list(got) == [np.uint64(w) for w in want], (i, t)
