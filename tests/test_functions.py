@@ -226,3 +226,21 @@ def test_batch_sketching_matches_per_doc(texts):
                 want.append(acc)
         got = sh[soffs[i]:soffs[i + 1]]
         assert list(got) == [np.uint64(w) for w in want], (i, t)
+
+
+def test_distributed_components_equals_union_find(ray_session):
+    """Min-label propagation over an edge Dataset must reproduce the
+    driver union-find exactly (chains force multiple rounds; isolated
+    pairs, a cycle, and a star cover the shapes)."""
+    import pandas as pd
+    from crawlingathome_server_ray.functions.dedup import (
+        connected_components, distributed_components)
+    edges = [(10, 2), (2, 30), (30, 4),          # chain with min inside
+             (100, 101),                          # pair
+             (7, 8), (8, 9), (9, 7),              # cycle
+             (50, 51), (50, 52), (50, 53)]        # star
+    want = connected_components(edges)
+    df = pd.DataFrame(edges, columns=["a_id", "b_id"])
+    got_ds = distributed_components(df)
+    got = {int(r["node"]): int(r["label"]) for r in got_ds.take_all()}
+    assert got == want
