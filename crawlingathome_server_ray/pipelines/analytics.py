@@ -330,26 +330,43 @@ FROM events p WHERE p.event_type = 'purchase'"""
 WINDOW_S = 3600
 
 
-def q_events_window_count(sf_dir: str):
+def q_events_window_count(sf_dir: str, n_buckets: int = 64):
     """Windowed self range-join: for every event, how many events of the
     same user fall strictly within the preceding hour ``[ts−3600 s, ts)``.
-    The classic bucketed range-join shape: partition by the equality key
-    (user), sort within the partition once, then both window bounds are a
-    vectorized double searchsorted — O(n log n) per group, no pairwise
-    blow-up. Strict ``<`` on both sides makes ties unambiguous."""
+    Bucketed range-join shape: users hash into ``n_buckets`` whole-user
+    buckets (64 python dispatches, not one per user); within a bucket ALL
+    users are counted by one vectorized double searchsorted over keys
+    ``user_rank·SPAN + ts`` — the per-user offset keeps each probe inside
+    its own user's segment, so no per-user loop exists anywhere. Strict
+    ``<`` on both sides makes ties unambiguous."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("user_id"))
+        return b.append_column(
+            "bucket", pa.array((pd.util.hash_array(u) % n_buckets)
+                               .astype(np.int32), pa.int32()))
+
     def window_count(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         us = g["ts"].astype("int64").to_numpy()
-        lo = np.searchsorted(us, us - WINDOW_S * 1_000_000, side="left")
-        hi = np.searchsorted(us, us, side="left")
+        uid = g["user_id"].to_numpy()
+        # dense per-user rank within the bucket
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        urank = np.cumsum(new_user) - 1
+        w = WINDOW_S * 1_000_000
+        span = np.int64(us.max() - us.min() + w + 2) if len(us) else np.int64(1)
+        key = urank * span + (us - us.min())
+        lo = np.searchsorted(key, key - w, side="left")
+        hi = np.searchsorted(key, key, side="left")
         return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
-                             "user_id": g["user_id"].to_numpy(),
+                             "user_id": uid,
                              "n_recent": (hi - lo).astype(np.int64)})
 
-    return ev.groupby("user_id").map_groups(window_count,
-                                            batch_format="pandas")
+    return (ev.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=BATCH)
+            .groupby("bucket").map_groups(window_count,
+                                          batch_format="pandas"))
 
 
 SQL_EVENTS_WINDOW_COUNT = f"""
