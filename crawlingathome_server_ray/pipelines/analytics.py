@@ -222,27 +222,49 @@ FROM b ORDER BY bucket"""
 SESSION_GAP_S = 1800
 
 
+def _user_bucketed(ds, n_buckets: int = 64):
+    """Whole-user hash buckets: the shuffle key for every per-user
+    streaming op (64 python dispatches instead of one per user; exactness
+    unchanged because a user's rows never split across buckets)."""
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("user_id"))
+        return b.append_column(
+            "bucket", pa.array((pd.util.hash_array(u) % n_buckets)
+                               .astype(np.int32), pa.int32()))
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=BATCH).groupby("bucket"))
+
+
 def q_events_sessionize(sf_dir: str):
-    """Gap-based sessionization (streaming-shaped workload over the ordered
-    event log): per user, a new session starts when the gap to the previous
-    event exceeds 1800 s. ``groupby(user_id).map_groups`` with a vectorized
-    pandas body — the partition-by-key + in-order-within-key pattern from
-    the Ray streaming guide."""
+    """Gap-based sessionization (streaming-shaped workload over the
+    ordered event log): per user, a new session starts when the gap to
+    the previous event exceeds 1800 s. Whole-user buckets; within a
+    bucket ALL users sessionize in one vectorized pass (break = user
+    change OR gap; per-user ids via a groupby-transform rebase)."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        us = g["ts"].astype("int64")
-        brk = (us.diff().fillna(0) > SESSION_GAP_S * 1_000_000).astype("int64")
-        g = g.assign(session_id=brk.cumsum())
-        out = g.groupby("session_id").agg(
-            n_events=("event_id", "size"),
-            t_start=("ts", "min"), t_end=("ts", "max")).reset_index()
-        out.insert(0, "user_id", g["user_id"].iloc[0])
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([False],
+                              np.diff(us) > SESSION_GAP_S * 1_000_000))
+        brk = (new_user | gap).astype(np.int64)
+        sid = brk.cumsum()                        # global session counter
+        g = g.assign(_sid=sid)
+        # rebase to a 0-based per-user session_id (first session of a user
+        # always starts with a break, so sid at user start is the base + 1)
+        base = g.groupby("user_id", sort=False)["_sid"].transform("first")
+        g = g.assign(session_id=(g["_sid"] - base).astype("int64"))
+        out = (g.groupby(["user_id", "session_id"], sort=False)
+               .agg(n_events=("event_id", "size"),
+                    t_start=("ts", "min"), t_end=("ts", "max"))
+               .reset_index())
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return out[["user_id", "session_id", "n_events", "t_start", "t_end"]]
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _user_bucketed(ev).map_groups(sessions, batch_format="pandas")
 
 
 SQL_SESSIONIZE = f"""
@@ -293,11 +315,10 @@ FROM events GROUP BY 1, 2"""
 
 # ---------------------------------------------------------------- as-of join
 def q_events_asof_join(sf_dir: str):
-    """As-of join within the event log: for every 'purchase' event, the most
-    recent 'error' event of the same user at or before it. Realized as the
-    sort-within-bucket + ``pd.merge_asof`` pattern from the Ray guide
-    (groupby(user) → per-group asof; users are whole groups so the asof is
-    exact)."""
+    """As-of join within the event log: for every 'purchase' event, the
+    most recent 'error' event of the same user at or before it. Whole-user
+    buckets; within a bucket ONE ``pd.merge_asof(..., by="user_id")``
+    handles every user (users are whole groups, so the asof is exact)."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
@@ -309,13 +330,13 @@ def q_events_asof_join(sf_dir: str):
                                  "user_id": pd.array([], dtype="int64"),
                                  "ts": pd.array([], dtype="datetime64[us]"),
                                  "last_error_ts": pd.array([], dtype="datetime64[us]")})
-        out = pd.merge_asof(purchases[["event_id", "user_id", "ts"]],
-                            errors[["ts"]].rename(columns={"ts": "last_error_ts"}),
-                            left_on="ts", right_on="last_error_ts",
-                            direction="backward")
-        return out
+        out = pd.merge_asof(
+            purchases[["event_id", "user_id", "ts"]],
+            errors[["user_id", "ts"]].assign(last_error_ts=errors["ts"]),
+            on="ts", by="user_id", direction="backward")
+        return out[["event_id", "user_id", "ts", "last_error_ts"]]
 
-    return ev.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return _user_bucketed(ev).map_groups(asof, batch_format="pandas")
 
 
 SQL_EVENTS_ASOF = """
