@@ -175,6 +175,39 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def jaccard_pairs_hashed(texts_a, texts_b, k: int = 3) -> np.ndarray:
+    """Vectorized n-gram Jaccard for ALIGNED text pairs — the map_batches
+    verify kernel for MinHash candidates. All tokenizing/shingling is one
+    whole-batch pass (``batch_token_hashes`` + ``batch_shingle_hashes``)
+    over the batch's UNIQUE texts only (a near-dup cluster's doc appears in
+    many candidate pairs; its shingle set is computed once), then each
+    pair's Jaccard is a numpy sorted-set intersection over uint64 shingle
+    hashes — no per-pair Python shingling or ``set`` ops.
+
+    Equals the scalar :func:`jaccard` (string shingle sets) up to 64-bit
+    hash collisions (~n²/2⁶⁴ — negligible); asserted equal on edge cases in
+    tests/test_functions.py."""
+    n = len(texts_a)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    all_texts = np.concatenate([np.asarray(texts_a, dtype=object),
+                                np.asarray(texts_b, dtype=object)])
+    codes, uniq = pd.factorize(all_texts)
+    sh, offs = batch_shingle_hashes(
+        *batch_token_hashes(np.asarray(uniq, dtype=object)), k=k)
+    sets = [np.unique(sh[offs[i]:offs[i + 1]]) for i in range(len(uniq))]
+    ca, cb = codes[:n], codes[n:]
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        sa, sb = sets[ca[i]], sets[cb[i]]
+        if not len(sa) and not len(sb):
+            out[i] = 1.0
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        out[i] = inter / (len(sa) + len(sb) - inter)
+    return out
+
+
 # ---------------------------------------------------------------- SimHash
 def simhash_many(texts) -> np.ndarray:
     """Vectorized 64-bit simhash for a whole batch: one unpackbits over the
@@ -249,11 +282,14 @@ def pairs_from_groups(keys: list[np.ndarray], ids: np.ndarray,
     multi-group — the loop runs only over multi-groups, which are rare).
 
     ``payload`` (e.g. simhash values) is returned aligned with the pairs as
-    (pay_a, pay_b). Groups larger than ``max_group`` are truncated to their
-    first ``max_group`` members by id order — a documented skew guard: a
-    degenerate bucket (e.g. all-empty docs) would otherwise emit O(n²)
-    pairs; truncation keeps ≥ max_group−1 edges into the group, which is
-    enough to keep it one connected component."""
+    (pay_a, pay_b). Groups larger than ``max_group`` get the all-pairs
+    expansion only for their first ``max_group`` members by id order — a
+    skew guard: a degenerate group (e.g. all-empty docs) would otherwise
+    emit O(n²) pairs. Members beyond the cap are connected by a spanning
+    STAR to the group's minimum id (O(n) edges), so the candidate group
+    stays one connected component; only the tail's pairwise recall is
+    capped (a tail edge that fails downstream verification can still split
+    the verified cluster — the cap trades tail recall for boundedness)."""
     order = np.lexsort([ids] + list(keys))
     ids_s = ids[order]
     pay_s = payload[order] if payload is not None else None
@@ -268,10 +304,10 @@ def pairs_from_groups(keys: list[np.ndarray], ids: np.ndarray,
     starts = np.concatenate(([0], np.flatnonzero(neq) + 1, [m]))
     out_a, out_b, pa_, pb_ = [], [], [], []
     for gi in range(len(starts) - 1):
-        s, e = starts[gi], starts[gi + 1]
-        if e - s < 2:
+        s, e_full = starts[gi], starts[gi + 1]
+        if e_full - s < 2:
             continue
-        e = min(e, s + max_group)
+        e = min(e_full, s + max_group)
         gids = ids_s[s:e]
         ia, ib = np.triu_indices(len(gids), k=1)
         out_a.append(gids[ia])
@@ -279,6 +315,16 @@ def pairs_from_groups(keys: list[np.ndarray], ids: np.ndarray,
         if pay_s is not None:
             pa_.append(pay_s[s:e][ia])
             pb_.append(pay_s[s:e][ib])
+        if e < e_full:
+            # spanning star: connect each capped-tail member to the group
+            # min id (ids_s ascending within the group ⇒ a < b holds)
+            tail = ids_s[e:e_full]
+            out_a.append(np.full(len(tail), gids[0], dtype=np.int64))
+            out_b.append(tail)
+            if pay_s is not None:
+                pa_.append(np.full(len(tail), pay_s[s],
+                                   dtype=pay_s.dtype))
+                pb_.append(pay_s[e:e_full])
     if not out_a:
         z = np.zeros(0, np.int64)
         return (z, z, z, z) if payload is not None else (z, z)
@@ -358,6 +404,7 @@ def distributed_components(edges, max_iter: int = 20,
               .groupby("node").aggregate(Min("node", alias_name="label"))
               .materialize())
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         la = labels.map_batches(
             lambda b: pa.table({"a_id": b.column("node"),
@@ -387,6 +434,15 @@ def distributed_components(edges, max_iter: int = 20,
         cur = labels.aggregate(Sum("label", alias_name="s"))
         cur_sum = int(cur["s"])
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # labels only ever decrease; an unreached fixed point means some
+        # component (diameter > max_iter) still carries non-minimum labels
+        import warnings
+        warnings.warn(
+            f"distributed_components: no fixed point within max_iter="
+            f"{max_iter} rounds (graph diameter too large) — labels may "
+            f"split components; raise max_iter", RuntimeWarning)
     return labels  # Dataset (node, label=component min id)

@@ -16,9 +16,10 @@ import ray.data
 
 from ..functions import ann
 from ..functions.canonicalize import md5_hash64, md5_hex
-from ..functions.dedup import (connected_components, hamming64, jaccard,
-                               minhash_batch, pairs_from_groups,
-                               simhash_batch, simhash_chunks)
+from ..functions.dedup import (connected_components, hamming64,
+                               jaccard_pairs_hashed, minhash_batch,
+                               pairs_from_groups, simhash_batch,
+                               simhash_chunks)
 from ..functions.text import (fingerprint_batch, langid_batch, quality_batch,
                               token_count_batch)
 
@@ -145,7 +146,8 @@ def _lsh_bucket(band_id, band_hash) -> np.ndarray:
 
 
 def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
-                    jaccard_threshold: float = 0.8):
+                    jaccard_threshold: float = 0.8,
+                    distributed_pairs_threshold: int = 1_000_000):
     """MinHash→LSH→verify→cluster, fully distributed: returns
     (doc_id, cluster_id) for every doc in a verified near-dup cluster.
 
@@ -156,9 +158,13 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
     3. cross-band dedup of pairs: groupby(a_id, b_id) — pairs only;
     4. verify: candidate pairs ⋈ documents twice on doc_id (Ray native
        hash join — the bucketed semi-join; the corpus streams, the driver
-       never gathers texts), n-gram Jaccard inside map_batches;
-    5. cluster: union-find over the verified pairs ONLY (tiny) on the
-       driver — the one legitimately driver-sized artifact.
+       never gathers texts), whole-batch vectorized hashed-shingle Jaccard
+       (``jaccard_pairs_hashed``) inside map_batches;
+    5. cluster: driver union-find while verified pairs fit
+       (≤ ``distributed_pairs_threshold``); above it, distributed
+       min-label propagation (``distributed_components``) — identical
+       labels, never driver-resident (tests force both branches and
+       assert equality).
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
     # sketch batches are smaller than the generic BATCH so a small corpus
@@ -213,14 +219,25 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
                       on=("b_id",)))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        ok = [jaccard(ta, tb) >= jaccard_threshold
-              for ta, tb in zip(df["text_a"], df["text_b"])]
-        out = df.loc[ok, ["a_id", "b_id"]]
+        # whole-batch vectorized Jaccard over hashed shingle sets (unique
+        # texts shingled once per batch) — no per-pair Python shingling
+        sims = jaccard_pairs_hashed(df["text_a"].to_numpy(dtype=object),
+                                    df["text_b"].to_numpy(dtype=object))
+        out = df.loc[sims >= jaccard_threshold, ["a_id", "b_id"]]
         return out.astype({"a_id": "int64", "b_id": "int64"})
 
     verified = withtext.map_batches(verify, batch_format="pandas",
-                                    batch_size=4096)
-    vp = verified.to_pandas()  # verified near-dup pairs: small by definition
+                                    batch_size=4096).materialize()
+    if verified.count() > distributed_pairs_threshold:
+        # scale path: pairs outgrew the driver — min-label propagation,
+        # result stays a Dataset end to end
+        from ..functions.dedup import distributed_components
+        labels = distributed_components(verified)
+        return labels.map_batches(
+            lambda b: pa.table({"doc_id": b.column("node"),
+                                "cluster_id": b.column("label")}),
+            batch_format="pyarrow")
+    vp = verified.to_pandas()  # verified near-dup pairs: driver-sized here
     comp = connected_components(list(zip(vp["a_id"].astype(int),
                                          vp["b_id"].astype(int))))
     out = sorted(comp.items())

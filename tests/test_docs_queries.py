@@ -129,3 +129,13 @@ def test_cosine_near_dup_ivf_recall(ray_session):
     assert iv <= ex, f"false positives: {sorted(iv - ex)[:5]}"
     if ex:
         assert len(iv & ex) / len(ex) >= 0.5, (len(iv & ex), len(ex))
+
+
+def test_minhash_distributed_branch_equals_driver(ray_session):
+    """Forcing the distributed clustering path (threshold 0) must produce
+    exactly the driver union-find clustering."""
+    driver = to_pandas(dq.q_minhash_dedup(SF)).sort_values("doc_id")
+    dist = to_pandas(
+        dq.q_minhash_dedup(SF, distributed_pairs_threshold=0)
+    ).sort_values("doc_id")
+    assert driver.reset_index(drop=True).equals(dist.reset_index(drop=True))

@@ -244,3 +244,41 @@ def test_distributed_components_equals_union_find(ray_session):
     got_ds = distributed_components(df)
     got = {int(r["node"]): int(r["label"]) for r in got_ds.take_all()}
     assert got == want
+
+
+def test_jaccard_pairs_hashed_matches_scalar():
+    """The vectorized hashed-shingle Jaccard must equal the scalar
+    string-shingle jaccard() on edge cases (collisions are 2^-64-rare)."""
+    from crawlingathome_server_ray.functions.dedup import (
+        jaccard, jaccard_pairs_hashed)
+    docs = ["", " ", "a", "a b", "a b c", "a b c d e f g",
+            "  leading and trailing  ", "the quick brown fox jumps",
+            "the quick brown fox leaps", "x " * 50, "x " * 49 + "y"]
+    pairs_a, pairs_b = [], []
+    for a in docs:
+        for b in docs:
+            pairs_a.append(a)
+            pairs_b.append(b)
+    got = jaccard_pairs_hashed(pairs_a, pairs_b)
+    want = np.array([jaccard(a, b) for a, b in zip(pairs_a, pairs_b)])
+    assert np.allclose(got, want), list(zip(pairs_a, pairs_b, got, want))
+
+
+def test_pairs_from_groups_spanning_star():
+    """Members beyond max_group must stay connected to the group via the
+    spanning star (one component), with O(n) not O(n²) tail edges."""
+    from crawlingathome_server_ray.functions.dedup import (
+        connected_components, pairs_from_groups)
+    n = 10
+    keys = [np.zeros(n, dtype=np.int64)]          # one giant group
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    a, b = pairs_from_groups(keys, ids, max_group=4)
+    comp = connected_components(list(zip(a.tolist(), b.tolist())))
+    assert set(comp) == set(ids.tolist())          # nobody dropped
+    assert len(set(comp.values())) == 1            # one component
+    # head: all-pairs of 4; tail: one star edge per capped member
+    assert len(a) == 4 * 3 // 2 + (n - 4)
+    # payload stays aligned through the star edges
+    pay = ids * 7
+    a2, b2, pa_, pb_ = pairs_from_groups(keys, ids, payload=pay, max_group=4)
+    assert (pa_ == a2 * 7).all() and (pb_ == b2 * 7).all()
