@@ -43,3 +43,29 @@ def test_hll_distinct_on_dataset(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
     est = hll_distinct(ds, "x")
     assert abs(est - 7000) / 7000 < 0.03
+
+
+def test_hll_tree_merge_identical_to_flat(ray_session):
+    """Forcing many per-batch sketches through the distributed merge level
+    must give the bit-identical estimate (register max is associative)."""
+    import ray.data
+    vals = [f"u{i % 7000}" for i in range(30_000)]
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
+    flat = hll_distinct(ds, "x")                       # few sketches
+    tree = hll_distinct(ds, "x", sketch_batch_size=512, merge_fanout=8)
+    assert tree == flat
+
+
+def test_mg_tree_merge_same_exact_result(ray_session):
+    """heavy_hitters_exact is exact under any merge tree: forcing many
+    sketches + small fanout must give identical (key, n) rows."""
+    import ray.data
+    from crawlingathome_server_ray.functions.sketches import heavy_hitters_exact
+    vals = (["hot"] * 4000 + ["warm"] * 1500
+            + [f"cold{i}" for i in range(10_000)])
+    ds = ray.data.from_pandas(pd.DataFrame({"h": vals}))
+    a = heavy_hitters_exact(ds, "h", phi=0.05)
+    b = heavy_hitters_exact(ds, "h", phi=0.05,
+                            sketch_batch_size=256, merge_fanout=4)
+    assert a.equals(b)
+    assert set(a["h"]) == {"hot", "warm"}
