@@ -465,34 +465,55 @@ GROUP BY o.o_orderpriority"""
 Q3_CUTOFF = "1998-06-01"
 
 
-def q_shipping_priority(sf_dir: str):
+SHIP_PRIO_BROADCAST_MAX = 1_000_000  # ≈16 MB of int64 keys per task
+
+
+def q_shipping_priority(sf_dir: str,
+                        broadcast_max_keys: int = SHIP_PRIO_BROADCAST_MAX):
     """TPC-H Q3 shape: 3-way customer ⋈ orders ⋈ lineitem with date
-    filters → revenue per order → top 10. Customer is the dimension side
-    (broadcast semi-join via pc.is_in — never shuffled); orders⋈lineitem
-    is the large×large native hash join; revenue in integer cents for
-    bit-exact parallel aggregation."""
+    filters → revenue per order → top 10. The customer semi-join
+    auto-switches on the filtered key-set size: small side → broadcast
+    ``pc.is_in`` (no shuffle, one ray.put); above ``broadcast_max_keys``
+    → Ray native hash semi-join, so at 100× the segment side never ships
+    a GB value-set per task. orders⋈lineitem is the large×large native
+    hash join; revenue in integer cents for bit-exact parallel
+    aggregation. Both branches asserted equal in tests."""
     cutoff = np.datetime64(Q3_CUTOFF, "us").astype("datetime64[us]")
 
-    cust = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-            .filter(expr="c_mktsegment == 'BUILDING'").to_pandas())
-    keys_ref = ray.put(pa.array(cust["c_custkey"].to_numpy(dtype=np.int64),
-                                pa.int64()))
+    cust_ds = (_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+               .filter(expr="c_mktsegment == 'BUILDING'")
+               .select_columns(["c_custkey"]).materialize())
+    n_keys = cust_ds.count()
 
-    def orders_filter(b: pa.Table) -> pa.Table:
+    def orders_date_filter(b: pa.Table) -> pa.Table:
         ts = b.column("o_orderdate")
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        keep = pc.and_(pc.less(ts, pa.scalar(cutoff)),
-                       pc.is_in(b.column("o_custkey"),
-                                value_set=ray.get(keys_ref)))
-        return b.filter(keep).select(["o_orderkey", "o_orderdate",
-                                      "o_orderpriority"])
+        return b.filter(pc.less(ts, pa.scalar(cutoff)))
 
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_orderdate",
                      "o_orderpriority"])
-              .map_batches(orders_filter, batch_format="pyarrow",
+              .map_batches(orders_date_filter, batch_format="pyarrow",
                            batch_size=BATCH))
+
+    if n_keys <= broadcast_max_keys:
+        keys_ref = ray.put(pa.array(
+            cust_ds.to_pandas()["c_custkey"].to_numpy(dtype=np.int64),
+            pa.int64()))
+        orders = orders.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("o_custkey"),
+                                        value_set=ray.get(keys_ref)))
+            .select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow", batch_size=BATCH)
+    else:
+        # semi-join via native hash join (c_custkey is unique ⇒ inner
+        # join is a semi-join); materialized so the downstream
+        # lineitem join isn't a second concurrent JoinOperator in one plan
+        orders = (orders.join(cust_ds, join_type="inner", num_partitions=8,
+                              on=("o_custkey",), right_on=("c_custkey",))
+                  .select_columns(["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"]).materialize())
 
     def li_cents(b: pa.Table) -> pa.Table:
         ship = b.column("l_shipdate")

@@ -33,3 +33,14 @@ def test_url_sample_matches_oracle(ray_session):
     from crawlingathome_server_ray.pipelines.frontier_core import pages_path
     oracle = duckdb.sql(sql_url_sample(pages_path(SF))).df()
     assert_frames_match(q_url_sample(SF), oracle, "url_sample")
+
+
+def test_shipping_priority_semijoin_branch(ray_session):
+    """Forcing the native hash semi-join branch (broadcast_max_keys=0)
+    must equal the broadcast is_in branch."""
+    from conftest import to_pandas
+    from crawlingathome_server_ray.pipelines.analytics import q_shipping_priority
+    a = to_pandas(q_shipping_priority(SF)).reset_index(drop=True)
+    b = to_pandas(q_shipping_priority(SF, broadcast_max_keys=0)
+                  ).reset_index(drop=True)
+    assert a.equals(b), (a, b)
