@@ -282,3 +282,14 @@ def test_pairs_from_groups_spanning_star():
     pay = ids * 7
     a2, b2, pa_, pb_ = pairs_from_groups(keys, ids, payload=pay, max_group=4)
     assert (pa_ == a2 * 7).all() and (pb_ == b2 * 7).all()
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.text(max_size=400), max_size=40))
+def test_fingerprint_many_matches_scalar(texts):
+    """Vectorized Horner fingerprint ≡ the per-byte scalar twin."""
+    from crawlingathome_server_ray.functions.text import (fingerprint_many,
+                                                          fingerprint_text)
+    got = fingerprint_many(texts, budget_elems=512, min_group=3)  # tiny groups cross edges
+    want = np.array([fingerprint_text(t) for t in texts], dtype=np.uint64)
+    assert (got == want).all()
