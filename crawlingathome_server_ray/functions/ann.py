@@ -96,21 +96,43 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, seed: int = 42,
     return cent
 
 
+def _dataset_fingerprint(path: str) -> str:
+    """Cheap content key for the index cache: mtime+size of the source
+    parquet, so a regenerated-in-place dataset never serves a stale
+    index."""
+    import os
+    st = os.stat(path)
+    return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+
+
 def ivf_build(sf_dir: str, n_clusters: int = 16, seed: int = 42,
               index_root: str | None = None, batch_size: int = 8192) -> str:
     """Build (idempotently) the IVF index: the corpus bucketed by nearest
     coarse centroid, written as hive-partitioned parquet (one ``cell=K``
     directory per centroid) + the centroid matrix. This is the real IVF
     layout: searches read ONLY the probed cells' files (partition-pruned
-    read), instead of rescanning every corpus block."""
+    read), instead of rescanning every corpus block.
+
+    Crash-safe: the build writes into a ``.tmp`` sibling and atomically
+    renames it into place, so an interrupted build can never leave
+    partial ``cell=*/`` files that a retry would append duplicate corpus
+    rows next to. The cache key includes a source-file fingerprint
+    (mtime+size), so regenerating the dataset in place invalidates the
+    cached index."""
     import os
+    import shutil
+    src = f"{sf_dir}/embeddings.parquet"
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_root = index_root or f"/tmp/graft_ivf/{tag}_c{n_clusters}_s{seed}"
+    index_root = index_root or (
+        f"/tmp/graft_ivf/{tag}_c{n_clusters}_s{seed}"
+        f"_{_dataset_fingerprint(src)}")
     marker = os.path.join(index_root, "_BUILT")
     if os.path.exists(marker):
         return index_root
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
+    shutil.rmtree(index_root, ignore_errors=True)  # stale/partial leftovers
+    tmp_root = index_root + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding"])
     sample = ds.random_sample(min(1.0, 4096 / max(1, ds.count())), seed=seed)
     sm = normalize_rows(np.stack(sample.to_pandas()["embedding"].to_numpy())
                         .astype(np.float64))
@@ -124,10 +146,11 @@ def ivf_build(sf_dir: str, n_clusters: int = 16, seed: int = 42,
                                    pa.array(cells.astype(np.int32), pa.int32()))
 
     (ds.map_batches(assign, batch_format="pyarrow", batch_size=batch_size)
-     .write_parquet(index_root, partition_cols=["cell"]))
-    np.save(os.path.join(index_root, "centroids.npy"), cent)
-    with open(marker, "w") as f:
+     .write_parquet(tmp_root, partition_cols=["cell"]))
+    np.save(os.path.join(tmp_root, "centroids.npy"), cent)
+    with open(os.path.join(tmp_root, "_BUILT"), "w") as f:
         f.write("ok")
+    os.rename(tmp_root, index_root)  # atomic publish
     return index_root
 
 

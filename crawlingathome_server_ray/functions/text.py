@@ -15,14 +15,28 @@ import pyarrow.compute as pc
 LANG_MARKERS = [("en", " the "), ("de", " der "), ("fr", " les "), ("es", " por ")]
 
 
+def nonempty_token_counts(txt: pa.Array) -> pa.Array:
+    """Per-doc count of NON-empty whitespace-split tokens ≡ Python
+    ``len(text.split())``. Arrow's ``utf8_split_whitespace`` emits empty
+    strings at leading/trailing whitespace; counting them would diverge
+    from str.split() and the trim()-based SQL oracles on edge-whitespace
+    text (latent with edge-whitespace-free synth data, but wrong)."""
+    lists = pc.utf8_split_whitespace(txt)
+    raw = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    flat = lists.flatten()
+    empty_of = np.bincount(
+        np.repeat(np.arange(len(raw)), raw)[np.asarray(pc.equal(flat, ""))],
+        minlength=len(raw))
+    return pa.array(raw - empty_of, pa.int64())
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """tokens = whitespace-split count (≡ SQL len(regexp_split_to_array(
-    trim(text), '\\s+')) for non-empty text)."""
+    """tokens = non-empty whitespace-split count ≡ len(text.split())."""
     txt = batch.column("text")
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
-    n = pc.list_value_length(pc.utf8_split_whitespace(txt)).cast(pa.int64())
-    return pa.table({"doc_id": batch.column("doc_id"), "n_tokens": n})
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_tokens": nonempty_token_counts(txt)})
 
 
 def _count_sub(txt: pa.Array, pat: str) -> pa.Array:
@@ -35,7 +49,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
     n_chars = pc.utf8_length(txt).cast(pa.int64())
-    n_tokens = pc.list_value_length(pc.utf8_split_whitespace(txt)).cast(pa.int64())
+    n_tokens = nonempty_token_counts(txt)
     n_spaces = _count_sub(txt, " ").cast(pa.int64())
     n_the = _count_sub(pc.binary_join_element_wise(" ", txt, " ", ""), " the ").cast(pa.int64())
     mean_tok_len = pc.divide(

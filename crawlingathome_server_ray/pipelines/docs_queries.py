@@ -62,9 +62,15 @@ def q_token_count(sf_dir: str):
         token_count_batch, batch_format="pyarrow", batch_size=BATCH)
 
 
-SQL_TOKEN_COUNT = """
-SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-  AS n_tokens
+# ≡ len(text.split()): regexp-trim both edges (SQL trim() strips spaces
+# only, not \t\n) and guard all-whitespace text to 0 — matches the Ray
+# side's non-empty token count exactly
+SQL_TRIMMED = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+SQL_N_TOKENS = (f"CASE WHEN {SQL_TRIMMED} = '' THEN 0 "
+                f"ELSE len(regexp_split_to_array({SQL_TRIMMED}, '\\s+')) END")
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id, CAST({SQL_N_TOKENS} AS BIGINT) AS n_tokens
 FROM documents"""
 
 
@@ -73,15 +79,15 @@ def q_doc_quality(sf_dir: str):
         quality_batch, batch_format="pyarrow", batch_size=BATCH)
 
 
-SQL_DOC_QUALITY = """
+SQL_DOC_QUALITY = f"""
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+  CAST({SQL_N_TOKENS} AS BIGINT) AS n_tokens,
   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
   CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
     AS BIGINT) AS n_the,
   (length(text) - (length(text) - length(replace(text, ' ', '')))) * 1.0
-    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS mean_tok_len
+    / greatest({SQL_N_TOKENS}, 1) AS mean_tok_len
 FROM documents"""
 
 
@@ -316,9 +322,9 @@ def q_docs_curated(sf_dir: str, n_buckets: int = 64):
         txt = b.column("text")
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
+        from ..functions.text import nonempty_token_counts
         n_chars = pc.utf8_length(txt).cast(pa.int64())
-        n_tokens = pc.list_value_length(
-            pc.utf8_split_whitespace(txt)).cast(pa.int64())
+        n_tokens = nonempty_token_counts(txt)  # ≡ len(text.split())
         lang = langid_batch(b).column("lang_pred")
         keep = pc.and_(
             pc.and_(pc.greater_equal(n_chars, CURATE_MIN_CHARS),
@@ -349,12 +355,11 @@ def q_docs_curated(sf_dir: str, n_buckets: int = 64):
 SQL_DOCS_CURATED = f"""
 WITH f AS (
   SELECT doc_id, text,
-         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-           AS n_tokens,
+         CAST({SQL_N_TOKENS} AS BIGINT) AS n_tokens,
          ' ' || text || ' ' AS p
   FROM documents
   WHERE length(text) >= {CURATE_MIN_CHARS}
-    AND len(regexp_split_to_array(trim(text), '\\s+')) >= {CURATE_MIN_TOKENS}),
+    AND {SQL_N_TOKENS} >= {CURATE_MIN_TOKENS}),
 c AS (
   SELECT doc_id, text, n_tokens,
     CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS BIGINT) AS c_en,

@@ -139,3 +139,55 @@ def test_minhash_distributed_branch_equals_driver(ray_session):
         dq.q_minhash_dedup(SF, distributed_pairs_threshold=0)
     ).sort_values("doc_id")
     assert driver.reset_index(drop=True).equals(dist.reset_index(drop=True))
+
+
+def test_token_count_edge_whitespace_matches_split(ray_session):
+    """Non-empty token counting ≡ str.split() and ≡ the SQL oracle even on
+    edge-whitespace / empty / all-whitespace text (latent in synth data,
+    which never has edge whitespace)."""
+    import pandas as pd
+    import pyarrow as pa
+    import duckdb
+    from crawlingathome_server_ray.functions.text import (quality_batch,
+                                                          token_count_batch)
+    texts = ["", " ", "   ", "a", " a", "a ", "  a  b  ", "\ta\nb ",
+             "plain text here"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = token_count_batch(t).column("n_tokens").to_pylist()
+    want = [len(s.split()) for s in texts]
+    assert got == want
+    assert quality_batch(t).column("n_tokens").to_pylist() == want
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    oracle = con.execute(dq.SQL_TOKEN_COUNT).df().sort_values("doc_id")
+    assert oracle["n_tokens"].tolist() == want
+
+
+def test_ivf_build_crash_safe_and_content_aware(ray_session):
+    """A crashed (partial, no _BUILT marker) build must be wiped and
+    rebuilt without duplicate corpus rows, and regenerating the source
+    dataset in place must yield a different index root."""
+    import os
+    import shutil
+    import pyarrow.parquet as pq
+    from crawlingathome_server_ray.functions import ann
+    root = ann.ivf_build(SF, n_clusters=8, seed=7)
+    n_rows = sum(pq.read_table(str(f)).num_rows
+                 for f in __import__("pathlib").Path(root).glob("cell=*/*.parquet"))
+    # simulate a crash: drop the marker, leave the partial cell files
+    os.remove(os.path.join(root, "_BUILT"))
+    root2 = ann.ivf_build(SF, n_clusters=8, seed=7)
+    assert root2 == root
+    n_rows2 = sum(pq.read_table(str(f)).num_rows
+                  for f in __import__("pathlib").Path(root2).glob("cell=*/*.parquet"))
+    assert n_rows2 == n_rows  # retry did not append duplicates
+    # content-aware cache key: a different source fingerprint → new root
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        shutil.copy(f"{SF}/embeddings.parquet", f"{td}/embeddings.parquet")
+        os.utime(f"{td}/embeddings.parquet", (1, 1))
+        r_a = ann.ivf_build(td, n_clusters=8, seed=7)
+        os.utime(f"{td}/embeddings.parquet", (2, 2))
+        r_b = ann.ivf_build(td, n_clusters=8, seed=7)
+        assert r_a != r_b
