@@ -42,7 +42,7 @@ def main(argv=None) -> None:
         if name == "validate-worker":
             s.add_argument("--token", required=True)
         if name in ("run", "resume"):
-            s.add_argument("--wave-size", type=int, default=8)
+            s.add_argument("--wave-size", type=int, default=None)  # None → cfg.wave_size
             s.add_argument("--num-cpus", type=int,
                            default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     args = p.parse_args(argv)

@@ -44,9 +44,11 @@ class PipelineConfig:
     # support for URL re-opens; "bloom" = append-only, no delete
     seen_filter_kind: str = "bloom"
 
-    # counter shards: increments route by partition_id % n; ≥4 keeps one
-    # actor from serializing every batch (scale with cluster width)
-    n_counter_shards: int = 4
+    # crawl-wave width: partitions processed per streaming execution —
+    # the unit of manifest-commit batching; the partition stays the unit of
+    # lease/close. ≈ cluster width on a real cluster. One knob shared by
+    # run_crawl, the CLI and bench.py.
+    wave_size: int = 8
 
     # lease / reap semantics (reference config.py:8, main.py:750)
     lease_timeout_s: int = 7200

@@ -62,10 +62,8 @@ from ..stages.politeness import politeness_ranked
 from ..stages.robots import allowed_mask
 from ..stages.seen_filter import SeenFilter, make_shards, snapshot_shards
 from ..state.checkpoint import (CLOSED, GPU, LEASED, STAGE_VERSIONS, Manifest)
-from ..state.counters import CounterShards
 
 NICKNAME_POOL = 5
-DEFAULT_WAVE_SIZE = 8
 
 
 def upload_store(seed: int, pid: int,
@@ -103,22 +101,30 @@ def _partition_ids(staging: str) -> list[int]:
                   if p.name.startswith("partition_id="))
 
 
-def _make_cpu_stage(shards, counter, hex_chars: int):
+def _make_cpu_stage(shards, hex_chars: int):
     """The wave's single hot map function: seen-filter → robots → extract.
 
     A plain task function (not an actor pool): the bloom state lives in the
     shared shard actors, the robots rule cache in the worker process — so
     there is no per-execution actor spin-up, and Ray schedules it elastically.
 
-    NOT idempotent: ``seen(batch)`` mutates the bloom shards and the counter
-    increments accumulate — a Ray-retried task would find its own URLs
-    already 'seen' (silently dropping the batch) and double-count. The wave
-    therefore runs with ``max_retries=0`` (see run_crawl): a lost task fails
-    the wave, and resume replays it from the manifest + the last committed
-    seen-snapshot, which is consistent (snapshots commit only at wave end).
+    Counters are NOT tracked here (round-2 did a sharded-counter-actor RPC
+    per batch — one RTT on the critical path of every batch): the stage
+    emits every post-bloom row tagged with the boolean ``allowed`` robots
+    verdict, and the driver derives all four counters per wave from data —
+    urls_seen from staging parquet metadata, fetched/blocked from one tiny
+    (partition_id, allowed) count pass over the materialized wave. Derived
+    counters are exactly-once by construction (recomputable, never
+    incremented), which also removes half of the retry hazard below.
+
+    Still NOT idempotent: ``seen(batch)`` mutates the bloom shards — a
+    Ray-retried task would find its own URLs already 'seen' and silently
+    drop the batch. The wave therefore runs with ``max_retries=0`` (see
+    run_crawl): a lost task fails the wave, and resume replays it from the
+    manifest + the last committed seen-snapshot, which is consistent
+    (snapshots commit only at wave end).
     """
     seen = SeenFilter(shards)
-    n_parts = 16 ** hex_chars
 
     def stage(batch: pa.Table) -> pa.Table:
         if "partition_id" in batch.schema.names:
@@ -131,32 +137,60 @@ def _make_cpu_stage(shards, counter, hex_chars: int):
             pids_in = md5_partition(batch.column("host"), hex_chars)
             batch = batch.append_column("partition_id",
                                         pa.array(pids_in, pa.int32()))
-        n_in = np.bincount(pids_in, minlength=n_parts)
 
         deduped = seen(batch)
-        pids_d = np.asarray(deduped.column("partition_id"))
-        n_new = np.bincount(pids_d, minlength=n_parts)
-
         allowed = allowed_mask(deduped)
-        fetched = deduped.filter(pa.array(allowed))
-        pids_f = np.asarray(fetched.column("partition_id"))
-        n_ok = np.bincount(pids_f, minlength=n_parts)
-
-        updates = {int(pid): {
-            "urls_seen": int(n_in[pid]),
-            "urls_deduped": int(n_in[pid] - n_new[pid]),
-            "robots_blocked": int(n_new[pid] - n_ok[pid]),
-            "urls_fetched": int(n_ok[pid]),
-        } for pid in np.unique(pids_in)}
-        # sync, sharded: one parallel RPC per touched counter shard, so the
-        # batch waits one RTT but no single actor serializes the cluster;
-        # counters are complete before the wave's manifests commit
-        counter.incr_many(updates)
-
-        out = fetch_extract_batch(fetched, verify=True)
-        return out.drop_columns(["html"])
+        # extraction is a pure per-row function; running it on the (rare)
+        # blocked rows too keeps one uniform vectorized pass — blocked rows
+        # are filtered before the stage-1 write, so no blocked text is ever
+        # published downstream
+        out = fetch_extract_batch(deduped, verify=True)
+        return (out.drop_columns(["html"])
+                .append_column("allowed", pa.array(allowed)))
 
     return stage
+
+
+def _staging_row_counts(staging: str, pids: list[int]) -> dict[int, int]:
+    """urls_seen per partition from parquet footer metadata — no data read."""
+    import pyarrow.parquet as pq
+    return {p: sum(pq.ParquetFile(str(f)).metadata.num_rows
+                   for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
+            for p in pids}
+
+
+def _wave_counters(surv_all, staging: str, wave: list[int]) -> dict[int, dict]:
+    """Derive the per-partition counter dict for one wave from data:
+    one (partition_id, allowed) partial-count pass over the materialized
+    wave output + staging footer row counts. ≙ the reference's Redis
+    counters (SURVEY.md A6), but recomputable instead of incremented."""
+    def part_counts(b: pa.Table) -> pa.Table:
+        pids = np.asarray(b.column("partition_id"), dtype=np.int64)
+        ok = np.asarray(b.column("allowed"))
+        u = np.unique(pids)
+        size = int(u.max()) + 1 if len(u) else 1
+        n_new = np.bincount(pids, minlength=size)
+        n_ok = np.bincount(pids[ok], minlength=size)
+        return pa.table({"partition_id": pa.array(u, pa.int64()),
+                         "n_new": pa.array(n_new[u], pa.int64()),
+                         "n_ok": pa.array(n_ok[u], pa.int64())})
+
+    cdf = (surv_all.select_columns(["partition_id", "allowed"])
+           .map_batches(part_counts, batch_format="pyarrow")
+           .to_pandas())
+    agg = (cdf.groupby("partition_id")[["n_new", "n_ok"]].sum()
+           if len(cdf) else {})
+    seen_by_pid = _staging_row_counts(staging, wave)
+    out = {}
+    for pid in wave:
+        n_new = int(agg["n_new"].get(pid, 0)) if len(cdf) else 0
+        n_ok = int(agg["n_ok"].get(pid, 0)) if len(cdf) else 0
+        seen_n = seen_by_pid.get(pid, 0)
+        out[pid] = {"urls_seen": seen_n,
+                    "urls_deduped": seen_n - n_new,
+                    "robots_blocked": n_new - n_ok,
+                    "urls_fetched": n_ok}
+    return out
 
 
 def load_seed_hashes(sf_dir: str, cfg: PipelineConfig) -> np.ndarray:
@@ -178,10 +212,17 @@ def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
     on the key, so the join is fully distributed (the round-1 driver-side
     broadcast searchsorted is gone; at 10^10 URLs neither side ever
     materializes outside the object store). ``url_hash`` is unique per
-    surviving URL (the bloom filter admits each hash once) and the
-    schedule covers exactly the fetched URLs, so the inner join is 1:1.
-    Used by entry(), tests, and any consumer that needs payload +
-    schedule together."""
+    surviving URL (the bloom filter admits each hash once).
+
+    Join semantics: with the default ``politeness_max_rounds=None`` the
+    schedule covers exactly the fetched URLs and the inner join is 1:1.
+    When a crawl horizon IS configured, the schedule sidecar only contains
+    rows with ``fetch_round < max_rounds`` — the inner join then
+    DELIBERATELY applies that horizon to the payload: rows beyond it are
+    out of crawl scope, not lost (they remain in the stage-1 artifact for
+    a later horizon extension). Consumers needing the full payload read
+    stage-1 directly. Used by entry(), tests, and any consumer that needs
+    payload + schedule together."""
     s1 = Path(out_root, "stage1")
     sch = Path(out_root, "schedule")
     sel = (sorted(int(p.name.split("=")[1]) for p in s1.iterdir())
@@ -202,8 +243,11 @@ def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
 def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
               out_root: str | None = None, resume: bool = True,
               stop_after: int | None = None,
-              wave_size: int = DEFAULT_WAVE_SIZE) -> dict:
-    """Run (or resume) the crawl; returns the metrics summary."""
+              wave_size: int | None = None) -> dict:
+    """Run (or resume) the crawl; returns the metrics summary.
+    ``wave_size`` defaults to ``cfg.wave_size`` — one knob shared by the
+    CLI, bench, and tests."""
+    wave_size = cfg.wave_size if wave_size is None else wave_size
     out_root = out_root or os.path.join(cfg.checkpoint_dir,
                                         os.path.basename(os.path.normpath(sf_dir)))
     if not resume:
@@ -225,7 +269,6 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     universe = _partition_ids(staging)
     order = dispatch_order(universe, cfg.seed)
 
-    counter = CounterShards(cfg.n_counter_shards)
     shards = make_shards(cfg.n_seen_shards, cfg.seen_bits_per_shard,
                          cfg.seen_num_hashes,
                          snapshots=manifest.load_seen_snapshot() if resume else None,
@@ -241,7 +284,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     if stop_after is not None:
         todo = todo[:stop_after]
 
-    cpu_stage = _make_cpu_stage(shards, counter, cfg.partition_hex_chars)
+    cpu_stage = _make_cpu_stage(shards, cfg.partition_hex_chars)
 
     for w0 in range(0, len(todo), wave_size):
         wave = todo[w0:w0 + wave_size]
@@ -267,16 +310,23 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         files = sorted(str(f) for p in wave
                        for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
         ds = ray.data.read_parquet(files)
-        # max_retries=0: the stage mutates shared state (bloom add +
-        # counter incr) and MUST NOT be replayed by Ray's task retry —
-        # see _make_cpu_stage. A lost task fails the wave; resume replays
-        # it from the manifest + last committed seen-snapshot.
-        surv = ds.map_batches(cpu_stage, batch_format="pyarrow",
-                              batch_size=cfg.batch_size,
-                              zero_copy_batch=True,
-                              max_retries=0).materialize()
+        # max_retries=0: the stage mutates shared state (bloom add) and
+        # MUST NOT be replayed by Ray's task retry — see _make_cpu_stage.
+        # A lost task fails the wave; resume replays it from the manifest
+        # + last committed seen-snapshot.
+        surv_all = ds.map_batches(cpu_stage, batch_format="pyarrow",
+                                  batch_size=cfg.batch_size,
+                                  zero_copy_batch=True,
+                                  max_retries=0).materialize()
         tp = _mark("cpu_stage", tp)
 
+        # counters derived from data (no per-batch RPCs; exactly-once by
+        # construction) — before manifests commit, same atomicity contract
+        counters_by_pid = _wave_counters(surv_all, staging, wave)
+        tp = _mark("counters", tp)
+
+        surv = (surv_all.filter(expr="allowed == True")
+                .drop_columns(["allowed"]))
         surv.write_parquet(stage1_root, partition_cols=["partition_id"])
         tp = _mark("stage1_write", tp)
 
@@ -345,7 +395,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         for pid in wave:
             cpu_nick, gpu_nick = nicks[pid]
             gpu_url = f"{stores[pid]}://{stage1_root}/partition_id={pid}"
-            counters = counter.snapshot(pid)
+            counters = counters_by_pid[pid]
             if stores[pid] == "postgres":
                 manifest.transition(pid, CLOSED, completor=cpu_nick,
                                     gpu_url=gpu_url, counters=counters,
@@ -365,7 +415,6 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     for a in shards:
         ray.kill(a)  # do not leave zombie actors holding resources
-    counter.kill()
 
     wall = time.time() - t0
     totals = manifest.totals()
