@@ -24,6 +24,11 @@ class PipelineConfig:
     # DuckDB oracle can compute the identical partition assignment in SQL.
     partition_hex_chars: int = 1
 
+    # RFC 3986 §6.2.2 percent-encoding normalization in the canonicalizer.
+    # Default OFF: the oracle-parity canonical form. Real crawl frontiers
+    # turn this on so %7E-vs-~ duplicates dedup together.
+    pct_normalize_urls: bool = False
+
     # politeness: max URLs fetched per host per round (budget), ordering
     # within a host is (warc_ts, url) ascending.
     politeness_budget: int = 3

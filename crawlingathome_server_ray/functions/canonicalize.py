@@ -11,8 +11,13 @@ the DuckDB oracle can verify it value-for-value:
     3. strip the scheme's default port (``:80`` http / ``:443`` https);
     4. empty path → ``/``.
 
-(Percent-encoding normalization is intentionally out of scope — documented
-trade-off for oracle parity.)
+(Percent-encoding normalization is OFF by default — the oracle-parity
+canonical form. Real crawl frontiers need it (``%7E`` vs ``~`` dupes
+survive dedup otherwise), so it is available behind
+``pct_normalize=True`` / ``PipelineConfig.pct_normalize_urls``: RFC 3986
+§6.2.2 — decode %XX escapes of unreserved characters, uppercase the hex
+of the rest. Rows without '%' take the vectorized fast path untouched;
+the rare '%' rows are normalized per-row.)
 
 Hashing is md5-based for the same reason: ``url_hash`` = first 8 bytes of
 ``md5(url_canon)`` (big-endian uint64), ``partition_id`` = the first
@@ -64,11 +69,55 @@ def _as_string_array(strings) -> pa.Array:
 
 _URL_RE = r"^(?P<scheme>[^:/?#]+)://(?P<auth>[^/?#]*)(?P<rest>[^#]*)"
 
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_HEX = frozenset("0123456789abcdefABCDEF")
 
-def canonicalize_array(urls: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
-    """Vectorized: urls → (url_canon, host)."""
+
+def pct_normalize_str(s: str) -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization (scalar twin):
+    %XX of an unreserved character → the literal character; any other
+    well-formed escape → uppercase hex; malformed '%' left untouched."""
+    i = 0
+    out = []
+    while True:
+        j = s.find("%", i)
+        if j < 0:
+            out.append(s[i:])
+            return "".join(out)
+        out.append(s[i:j])
+        hx = s[j + 1:j + 3]
+        if len(hx) == 2 and hx[0] in _HEX and hx[1] in _HEX:
+            ch = chr(int(hx, 16))
+            out.append(ch if ch in _UNRESERVED else "%" + hx.upper())
+            i = j + 3
+        else:
+            out.append("%")
+            i = j + 1
+
+
+def _pct_normalize_array(arr: pa.Array) -> pa.Array:
+    """Vectorized wrapper: rows without '%' (the overwhelming majority of a
+    real frontier) pass through zero-copy; only '%' rows are rebuilt."""
+    has = pc.match_substring(arr, "%")
+    if pc.any(has).as_py() is not True:
+        return arr
+    vals = np.asarray(arr, dtype=object)
+    mask = np.asarray(has)
+    vals[mask] = [pct_normalize_str(s) for s in vals[mask]]
+    return pa.array(vals, pa.string())
+
+
+def canonicalize_array(urls: pa.ChunkedArray | pa.Array,
+                       pct_normalize: bool = False) -> tuple[pa.Array, pa.Array]:
+    """Vectorized: urls → (url_canon, host). ``pct_normalize`` decodes
+    BEFORE parsing/case-folding (so ``%41`` in the authority lowercases
+    like a literal 'A' would); decoding never introduces a parsing
+    delimiter because :/?#%/ are all reserved and stay encoded."""
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
+    if pct_normalize:
+        urls = _pct_normalize_array(urls)
     ex = pc.extract_regex(urls, _URL_RE)
     scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
     auth = pc.utf8_lower(pc.struct_field(ex, "auth"))
@@ -148,7 +197,8 @@ def md5_hex(strings) -> pa.Array:
                          for s in arr.to_pylist()], pa.string())
 
 
-def canonicalize_batch(batch: pa.Table, hex_chars: int = 1) -> pa.Table:
+def canonicalize_batch(batch: pa.Table, hex_chars: int = 1,
+                       pct_normalize: bool = False) -> pa.Table:
     """map_batches body: append url_canon/host/url_hash/partition_id.
 
     ``url_hash`` = md5(url_canon) (the dedup key); ``partition_id`` =
@@ -158,7 +208,7 @@ def canonicalize_batch(batch: pa.Table, hex_chars: int = 1) -> pa.Table:
     beats a unique+scatter dance (np.unique on object strings costs more
     than the hash itself).
     """
-    canon, host = canonicalize_array(batch.column("url"))
+    canon, host = canonicalize_array(batch.column("url"), pct_normalize)
     hashes = md5_hash64(canon)
     parts = md5_partition(host, hex_chars)
     return (batch
@@ -168,8 +218,10 @@ def canonicalize_batch(batch: pa.Table, hex_chars: int = 1) -> pa.Table:
             .append_column("partition_id", pa.array(parts, pa.int32())))
 
 
-def canonicalize_url(url: str) -> str:
+def canonicalize_url(url: str, pct_normalize: bool = False) -> str:
     """Scalar reference implementation (used by refsim + tests)."""
+    if pct_normalize:
+        url = pct_normalize_str(url)  # decode-then-parse, as the kernel does
     nofrag = url.split("#", 1)[0]
     scheme, rest = nofrag.split("://", 1)
     scheme = scheme.lower()

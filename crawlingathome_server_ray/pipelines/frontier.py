@@ -88,7 +88,8 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
     # splits that canonicalize+write saturate the cluster
     ds = ray.data.read_parquet(
         pages, override_num_blocks=cfg.read_override_num_blocks or 64)
-    ds = ds.map_batches(lambda b: canonicalize_batch(b, cfg.partition_hex_chars),
+    ds = ds.map_batches(lambda b: canonicalize_batch(b, cfg.partition_hex_chars,
+                                                 cfg.pct_normalize_urls),
                         batch_format="pyarrow", batch_size=cfg.batch_size,
                         zero_copy_batch=True)
     ds.write_parquet(staging, partition_cols=["partition_id"])
@@ -202,7 +203,7 @@ def load_seed_hashes(sf_dir: str, cfg: PipelineConfig) -> np.ndarray:
     from ..functions.canonicalize import canonicalize_url, md5_hash64
     path = os.path.join(ensure_frontier(sf_dir, cfg.seed), "seed_list.parquet")
     urls = pq.read_table(path, columns=["url"]).column("url").to_pylist()
-    canon = [canonicalize_url(u) for u in urls]
+    canon = [canonicalize_url(u, cfg.pct_normalize_urls) for u in urls]
     return np.sort(md5_hash64(canon))
 
 

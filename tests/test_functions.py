@@ -293,3 +293,41 @@ def test_fingerprint_many_matches_scalar(texts):
     got = fingerprint_many(texts, budget_elems=512, min_group=3)  # tiny groups cross edges
     want = np.array([fingerprint_text(t) for t in texts], dtype=np.uint64)
     assert (got == want).all()
+
+
+PCT_GOLDEN = [
+    # unreserved escapes decode
+    ("http://ex.com/%7Euser", "http://ex.com/~user"),
+    ("http://ex.com/%41%62%30%2D%5F%2E", "http://ex.com/Ab0-_."),
+    # reserved escapes stay encoded, hex uppercased
+    ("http://ex.com/a%2fb?q=%3d", "http://ex.com/a%2Fb?q=%3D"),
+    # %23 ('#') stays encoded — never becomes a new fragment
+    ("http://ex.com/a%23b", "http://ex.com/a%23b"),
+    # malformed escapes untouched
+    ("http://ex.com/100%", "http://ex.com/100%"),
+    ("http://ex.com/a%g1b", "http://ex.com/a%g1b"),
+    # decode happens before case-folding: %41 in the authority → 'a'
+    ("http://EX%41MPLE.com/", "http://example.com/"),
+]
+
+
+@pytest.mark.parametrize("url,want", PCT_GOLDEN)
+def test_pct_normalize_golden(url, want):
+    got_scalar = canonicalize_url(url, pct_normalize=True)
+    assert got_scalar == want
+    canon, _ = canonicalize_array(pa.array([url]), pct_normalize=True)
+    assert canon.to_pylist() == [want]
+
+
+@settings(deadline=None, max_examples=80)
+@given(st.lists(st.from_regex(
+    r"https?://[a-zA-Z0-9.%-]{1,20}(:[0-9]{1,4})?/[a-zA-Z0-9%/._~?=-]{0,30}",
+    fullmatch=True), max_size=10))
+def test_pct_normalize_vector_matches_scalar(urls):
+    canon, _ = canonicalize_array(pa.array(urls, pa.string()),
+                                  pct_normalize=True)
+    want = [canonicalize_url(u, pct_normalize=True) for u in urls]
+    assert canon.to_pylist() == want
+    # flag OFF remains byte-identical to the oracle-parity form
+    off, _ = canonicalize_array(pa.array(urls, pa.string()))
+    assert off.to_pylist() == [canonicalize_url(u) for u in urls]
