@@ -119,8 +119,14 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
     # a distributed store)
     ckpt = f"/dev/shm/graft_scaling_ckpt_{num_cpus}"
     shutil.rmtree(ckpt, ignore_errors=True)
-    cfg = PipelineConfig(checkpoint_dir=ckpt)
-    s = run_crawl(sf_dir, cfg, resume=False, wave_size=8)
+    # GRAFT_HEX_CHARS=2 measures the 256-partition at-scale configuration
+    # (wave_size then ≈ cluster width; default stays the 16-way small-box
+    # config that the refsim goldens pin)
+    hex_chars = int(os.environ.get("GRAFT_HEX_CHARS", "1"))
+    wave = int(os.environ.get("GRAFT_WAVE_SIZE", "8"))
+    cfg = PipelineConfig(checkpoint_dir=ckpt, partition_hex_chars=hex_chars,
+                         wave_size=wave)
+    s = run_crawl(sf_dir, cfg, resume=False)
     shutil.rmtree(ckpt, ignore_errors=True)
     ray.shutdown()
     return {"metric": "flagship_crawl", "value": round(s["wall_s"], 3),

@@ -183,3 +183,28 @@ def test_kill_and_resume_identical(ray_session):
     m_resumed = Manifest(resumed["out_root"]).totals()
     m_full = Manifest(full["out_root"]).totals()
     assert m_resumed == m_full, "resume double-processed some partition"
+
+
+def test_hex_chars_2_matches_refsim(ray_session):
+    """The 256-partition configuration (partition_hex_chars=2) must
+    reproduce refsim dispatch/counters/state exactly — the docstring's
+    promised at-scale partitioning, not just the 16-partition default."""
+    cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_hex2",
+                         partition_hex_chars=2)
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    summary = run_crawl(SF, cfg, resume=False, wave_size=64)
+    frontier = ensure_frontier(SF, cfg.seed)
+    pages = pq.read_table(frontier + "/pages")
+    seed_urls = pq.read_table(frontier + "/seed_list.parquet",
+                              columns=["url"]).column("url").to_pylist()
+    sim = simulate(pages, cfg, seed_urls=seed_urls)
+    assert summary["dispatch_order"] == sim.dispatch
+    assert summary["partitions_closed"] == sorted(sim.states)
+    # sf0.001 has 60 hosts ⇒ ≤60 non-empty partitions, but they must span
+    # the 256-way id space (beyond the 16-way default's 0..15 range)
+    assert max(summary["partitions_closed"]) > 15
+    assert len(summary["partitions_closed"]) > 40
+    m = Manifest(summary["out_root"], cfg.lease_timeout_s)
+    for pid, rec in m.all().items():
+        assert rec["counters"] == sim.counters[pid], f"counters @ {pid}"
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
