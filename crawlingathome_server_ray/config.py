@@ -24,6 +24,16 @@ class PipelineConfig:
     # DuckDB oracle can compute the identical partition assignment in SQL.
     partition_hex_chars: int = 1
 
+    # staging layout: sort the bootstrap by partition_id before the hive
+    # write (≙ reference update_db.py:107's bootstrap sort). Unsorted, every
+    # write task emits a file into every partition dir (blocks × partitions
+    # files — at 256 partitions × 100 TB that is object-store-metadata
+    # death); sorted blocks are partition-contiguous (~blocks/partitions
+    # files per dir) at the cost of one full-data range shuffle. None =
+    # auto: sort iff partition_hex_chars >= 2 (at 16 partitions the file
+    # count is harmless and skipping the shuffle is measured faster).
+    staging_sort: bool | None = None
+
     # RFC 3986 §6.2.2 percent-encoding normalization in the canonicalizer.
     # Default OFF: the oracle-parity canonical form. Real crawl frontiers
     # turn this on so %7E-vs-~ duplicates dedup together.

@@ -92,6 +92,15 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
                                                  cfg.pct_normalize_urls),
                         batch_format="pyarrow", batch_size=cfg.batch_size,
                         zero_copy_batch=True)
+    # optional global sort by partition_id (≙ the reference's bootstrap sort
+    # by shard number, update_db.py:107) — THE pipeline's one full-data
+    # shuffle; see PipelineConfig.staging_sort for the file-count-vs-shuffle
+    # trade (measured: hex2/sfscale downstream 111 s → 60 s with the sort,
+    # bootstrap +117 s once; mandatory at real scale, skipped at 16-way).
+    sort = (cfg.partition_hex_chars >= 2 if cfg.staging_sort is None
+            else cfg.staging_sort)
+    if sort:
+        ds = ds.sort("partition_id")
     ds.write_parquet(staging, partition_cols=["partition_id"])
     Path(done).touch()
     return staging
