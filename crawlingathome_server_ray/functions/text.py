@@ -78,6 +78,27 @@ def langid_batch(batch: pa.Table) -> pa.Table:
                      "lang_pred": pa.array(out.tolist(), pa.string())})
 
 
+# BPE-ish pre-tokenizer (GPT-2-style, simplified to RE2 syntax — no
+# lookahead): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs. Both Arrow's
+# count_substring_regex and DuckDB's regexp_extract_all run RE2, so the
+# SQL oracle counts the exact same non-overlapping matches.
+BPE_ISH_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                   r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Subword-style token count: non-overlapping BPE_ISH_PATTERN matches
+    per doc (the whitespace-free analog of a GPT-2 pre-tokenizer's segment
+    count), vectorized via Arrow's RE2 kernel."""
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n = pc.count_substring_regex(txt, BPE_ISH_PATTERN).cast(pa.int64())
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_bpe_tokens": n})
+
+
 _FP_BASE = 257
 _FP_MOD = (1 << 61) - 1
 

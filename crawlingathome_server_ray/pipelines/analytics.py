@@ -65,9 +65,21 @@ FROM orders"""
 
 # ---------------------------------------------------------------- A2
 def q_clients_per_type(sf_dir: str):
+    """Bounded-domain count (5 market segments ≙ 3 worker types): per-batch
+    partial counts + a ≤5-rows-per-block driver combine — no Aggregate
+    operator, no shuffle."""
     ds = _read(sf_dir, "customer", ["c_mktsegment"])
-    out = ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_clients"))
-    return out
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        vc = pd.Series(np.asarray(b.column("c_mktsegment"))).value_counts()
+        return pd.DataFrame({"c_mktsegment": vc.index.to_numpy(object),
+                             "n_clients": vc.to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=BATCH).to_pandas()
+    out = (parts.groupby("c_mktsegment", sort=True)["n_clients"].sum()
+           .reset_index())
+    return out.astype({"n_clients": "int64"})
 
 
 SQL_CLIENTS = """
@@ -75,20 +87,44 @@ SELECT c_mktsegment, count(*) AS n_clients FROM customer GROUP BY c_mktsegment""
 
 
 # ---------------------------------------------------------------- A4 + O2
-def q_leaderboard_topk(sf_dir: str):
+def q_leaderboard_topk(sf_dir: str, k: int = 20, n_buckets: int = 64):
+    """Grouped sums + top-k desc, two-phase: per-batch partial aggregation
+    (the shuffle carries ≤ |distinct custkeys| rows per block, pre-summed)
+    → bucketed exact final combine + per-bucket top-k → driver merge of
+    ≤ n_buckets·k rows. Replaces Ray's hash-Aggregate operator (measured
+    ~1.9 s fixed cost at any size) with one bucketed map_groups; same
+    asymptotics, exact result."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def cents(b: pa.Table) -> pa.Table:
-        c = pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5))
-        return pa.table({"o_custkey": b.column("o_custkey"),
-                         "price_cents": c.cast(pa.int64())})
+    def partial(b: pa.Table) -> pd.DataFrame:
+        c = pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
+                            0.5)).cast(pa.int64())
+        df = pd.DataFrame({"o_custkey": np.asarray(b.column("o_custkey"),
+                                                   dtype=np.int64),
+                           "price_cents": np.asarray(c)})
+        g = (df.groupby("o_custkey", sort=False)["price_cents"]
+             .agg(n_jobs="size", total_cents="sum").reset_index())
+        g["bucket"] = (pd.util.hash_array(g["o_custkey"].to_numpy(np.int64))
+                       % n_buckets).astype(np.int32)
+        return g
 
-    agg = (orders.map_batches(cents, batch_format="pyarrow", batch_size=BATCH)
-           .groupby("o_custkey")
-           .aggregate(Count(alias_name="n_jobs"),
-                      Sum("price_cents", alias_name="total_cents")))
-    top = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(20)
-    return top.select_columns(["o_custkey", "n_jobs", "total_cents"])
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby("o_custkey", sort=False)[["n_jobs", "total_cents"]]
+             .sum().reset_index())
+        return t.sort_values(["total_cents", "o_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    merged = (orders.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=BATCH)
+              .groupby("bucket").map_groups(bucket_topk,
+                                            batch_format="pandas")
+              .to_pandas())  # ≤ n_buckets × k rows
+    out = (merged.sort_values(["total_cents", "o_custkey"],
+                              ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return out.astype({"o_custkey": "int64", "n_jobs": "int64",
+                       "total_cents": "int64"})
 
 
 SQL_LEADERBOARD = """
@@ -99,10 +135,35 @@ ORDER BY total_cents DESC, o_custkey LIMIT 20"""
 
 
 # ---------------------------------------------------------------- O1
-def q_worker_listing(sf_dir: str):
+def q_worker_listing(sf_dir: str, k: int = 50, n_buckets: int = 64):
+    """first-seen top-k: per-batch partial min per user → bucketed exact
+    final min + per-bucket top-k asc → driver merge of ≤ n_buckets·k rows
+    (same two-phase shape as leaderboard_topk)."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
-    agg = ev.groupby("user_id").aggregate(Min("ts", alias_name="first_seen"))
-    return agg.sort(["first_seen", "user_id"]).limit(50)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": np.asarray(b.column("user_id"),
+                                                 dtype=np.int64),
+                           "first_seen": b.column("ts").to_pandas()})
+        g = df.groupby("user_id", sort=False)["first_seen"].min().reset_index()
+        g["bucket"] = (pd.util.hash_array(g["user_id"].to_numpy(np.int64))
+                       % n_buckets).astype(np.int32)
+        return g
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby("user_id", sort=False)["first_seen"].min()
+             .reset_index())
+        return t.sort_values(["first_seen", "user_id"],
+                             kind="mergesort").head(k)[["user_id",
+                                                        "first_seen"]]
+
+    merged = (ev.map_batches(partial, batch_format="pyarrow",
+                             batch_size=BATCH)
+              .groupby("bucket").map_groups(bucket_topk,
+                                            batch_format="pandas")
+              .to_pandas())
+    return (merged.sort_values(["first_seen", "user_id"], kind="mergesort")
+            .head(k).reset_index(drop=True))
 
 
 SQL_WORKERS = """
@@ -184,17 +245,23 @@ def q_eta_window(sf_dir: str):
     mean is integer-sum / count → bit-exact vs SQL AVG."""
     ev = _read(sf_dir, "events", ["ts"])
 
-    def bucketize(b: pa.Table) -> pa.Table:
+    def bucketize(b: pa.Table) -> pd.DataFrame:
         us = b.column("ts")
         if isinstance(us, pa.ChunkedArray):
             us = us.combine_chunks()
         bucket = pc.divide(us.cast(pa.int64()),
                            ETA_INTERVAL_S * 1_000_000)
-        return pa.table({"bucket": bucket})
+        # partial counts per batch: the 900 s-bucket domain is bounded by
+        # the data's time span, so the driver combine is ≤ |buckets| rows
+        # per block — no Aggregate operator, no shuffle
+        vc = pd.Series(np.asarray(bucket)).value_counts()
+        return pd.DataFrame({"bucket": vc.index.to_numpy(np.int64),
+                             "n_events": vc.to_numpy(np.int64)})
 
-    agg = (ev.map_batches(bucketize, batch_format="pyarrow", batch_size=BATCH)
-           .groupby("bucket").aggregate(Count(alias_name="n_events"))
-           .sort("bucket").to_pandas())
+    parts = ev.map_batches(bucketize, batch_format="pyarrow",
+                           batch_size=BATCH).to_pandas()
+    agg = (parts.groupby("bucket", sort=True)["n_events"].sum()
+           .reset_index())
     counts = agg["n_events"].astype("int64").tolist()
     rate = []
     for i in range(len(counts)):
@@ -574,13 +641,24 @@ def q_lineitem_agg(sf_dir: str):
                          "qty": b.column("l_quantity"),
                          "base_cents": base_c, "disc_cents": disc_c})
 
-    agg = (li.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty", alias_name="sum_qty"),
-                      Sum("base_cents", alias_name="sum_base_cents"),
-                      Sum("disc_cents", alias_name="sum_disc_cents"),
-                      Count(alias_name="n")))
-    return agg
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = prep(b).to_pandas()
+        return (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+                .agg(sum_qty=("qty", "sum"),
+                     sum_base_cents=("base_cents", "sum"),
+                     sum_disc_cents=("disc_cents", "sum"),
+                     n=("qty", "size")).reset_index())
+
+    # bounded domain (≤6 (returnflag, linestatus) groups): per-batch partial
+    # aggregation + driver combine of ≤6 rows per block — no Aggregate
+    # operator, no shuffle. Money is integer cents; qty is integer-valued
+    # doubles (< 2^53), so parallel summation order cannot change a bit.
+    parts = (li.map_batches(partial, batch_format="pyarrow",
+                            batch_size=BATCH).to_pandas())
+    out = (parts.groupby(["l_returnflag", "l_linestatus"], sort=True)
+           .sum().reset_index())
+    return out.astype({"sum_base_cents": "int64",
+                       "sum_disc_cents": "int64", "n": "int64"})
 
 
 SQL_LINEITEM_AGG = """
@@ -612,20 +690,27 @@ def q_revenue_per_nation(sf_dir: str):
                    codes.astype(np.int32),
                    pa.array(name_dict, pa.string())))
 
-    def join_batch(b: pa.Table) -> pa.Table:
+    def join_batch(b: pa.Table) -> pd.DataFrame:
         keys, code_of, names = ray.get(ref)
         pos = np.searchsorted(keys, np.asarray(b.column("o_custkey"),
                                                dtype=np.int64))
-        name_col = names.take(pa.array(code_of[pos], pa.int32()))
+        name_col = np.asarray(names.take(pa.array(code_of[pos], pa.int32())),
+                              dtype=object)
         cents = pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0),
                                 0.5)).cast(pa.int64())
-        return pa.table({"n_name": name_col, "price_cents": cents})
+        df = pd.DataFrame({"n_name": name_col,
+                           "price_cents": np.asarray(cents)})
+        # partial aggregate inside the map: ≤25 nations per block
+        return (df.groupby("n_name", sort=False)["price_cents"]
+                .agg(n_orders="size", revenue_cents="sum").reset_index())
 
-    return (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-            .map_batches(join_batch, batch_format="pyarrow", batch_size=BATCH)
-            .groupby("n_name")
-            .aggregate(Count(alias_name="n_orders"),
-                       Sum("price_cents", alias_name="revenue_cents")))
+    # bounded domain (25 nations): driver combine of ≤25 rows per block
+    parts = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+             .map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=BATCH).to_pandas())
+    out = (parts.groupby("n_name", sort=True)[["n_orders", "revenue_cents"]]
+           .sum().reset_index())
+    return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
 
 
 SQL_REVENUE_NATION = """

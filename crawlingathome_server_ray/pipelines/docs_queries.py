@@ -74,6 +74,26 @@ SELECT doc_id, CAST({SQL_N_TOKENS} AS BIGINT) AS n_tokens
 FROM documents"""
 
 
+def q_token_count_bpe(sf_dir: str):
+    """Subword-style (BPE-ish regex) token counting — the second token
+    metric of the training-data brief, alongside whitespace counting."""
+    from ..functions.text import bpe_token_count_batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow", batch_size=BATCH)
+
+
+def _sql_token_count_bpe() -> str:
+    from ..functions.text import BPE_ISH_PATTERN
+    # DuckDB regexp_extract_all also runs RE2 → identical non-overlapping
+    # match segmentation. Single-quote the pattern (it contains a ').
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents"""
+
+
 def q_doc_quality(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         quality_batch, batch_format="pyarrow", batch_size=BATCH)
@@ -600,6 +620,7 @@ FROM read_parquet('{pages_path}/*.parquet')"""
 DOCS_QUERIES = {
     "doc_dedup_exact": q_doc_dedup_exact,
     "token_count": q_token_count,
+    "token_count_bpe": q_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -619,6 +640,7 @@ DOCS_QUERIES = {
 DOCS_SQL = {
     "doc_dedup_exact": SQL_DOC_DEDUP,
     "token_count": SQL_TOKEN_COUNT,
+    "token_count_bpe": _sql_token_count_bpe(),
     "doc_quality": SQL_DOC_QUALITY,
     "doc_langid": SQL_DOC_LANGID,
     "doc_length_quantiles": SQL_DOC_QUANTILES,

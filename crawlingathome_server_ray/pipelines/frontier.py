@@ -162,11 +162,19 @@ def _make_cpu_stage(shards, hex_chars: int):
 
 
 def _staging_row_counts(staging: str, pids: list[int]) -> dict[int, int]:
-    """urls_seen per partition from parquet footer metadata — no data read."""
+    """urls_seen per partition from parquet footer metadata — no data read.
+    Footers are fetched in a thread pool: this is serial driver-side IO on
+    the wave's critical path, and a wave can span thousands of files."""
     import pyarrow.parquet as pq
-    return {p: sum(pq.ParquetFile(str(f)).metadata.num_rows
-                   for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
-            for p in pids}
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(p: int) -> tuple[int, int]:
+        return p, sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return dict(ex.map(one, pids))
 
 
 def _wave_counters(surv_all, staging: str, wave: list[int]) -> dict[int, dict]:
