@@ -4,12 +4,18 @@ reference main.py:96-140, 813-818 — recomputed from the pipeline itself
 instead of hardcoded, per SURVEY.md A6).
 
 Counters are **sharded by partition_id** across ``n`` actors so no single
-actor serializes every batch of the cluster (round-1 weak spot): a batch's
-updates split by ``pid % n`` and the per-shard RPCs run in parallel, so the
-per-batch latency stays one RTT while the throughput scales with shards.
-Increments remain synchronous (the stage ray.gets the acks) so a
-partition's counters are complete before its manifest commits — the
-atomicity requirement of SURVEY.md §7 hard-part (b).
+actor serializes every batch of the cluster: a batch's updates split by
+``pid % n`` and the per-shard RPCs run in parallel, so the per-batch
+latency stays one RTT while the throughput scales with shards.
+
+NOTE (round 3): the flagship crawl no longer uses these actors — its
+counters are DERIVED from data per wave (staging parquet footers + one
+count pass over the materialized wave, pipelines/frontier.py
+``_wave_counters``), which removed the per-batch RPC from the hot path
+and made counters exactly-once by construction. This module remains the
+general-purpose counter registry for stages whose counts cannot be
+recomputed from outputs (e.g. a true streaming consumer), and is
+routing/merge-tested in tests/test_checkpoint.py.
 """
 
 from __future__ import annotations
