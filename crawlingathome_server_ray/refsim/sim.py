@@ -96,6 +96,11 @@ def simulate(pages: pa.Table, cfg: PipelineConfig,
              seed_urls: list[str] | None = None) -> SimResult:
     from ..stages.dispatch import _DEFAULT_WORDS
     words = words or _DEFAULT_WORDS
+    # refsim deliberately re-implements canonicalization with stdlib only
+    # (independence discipline); it does NOT implement the optional RFC 3986
+    # percent-normalization, so refuse rather than silently diverge
+    assert not getattr(cfg, "pct_normalize_urls", False), \
+        "refsim does not model pct_normalize_urls=True"
     urls = pages.column("url").to_pylist()
     texts = pages.column("text").to_pylist()
 
