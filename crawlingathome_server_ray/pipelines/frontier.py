@@ -364,10 +364,19 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
         slim = slim.map_batches(add_priority, batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
+        # sub_buckets adapts to wave width: total politeness groups per wave
+        # = |wave| × sub_buckets, and each map_groups dispatch is a serial
+        # driver-side cost (~ms each). Target ≈256 groups/wave: at 16-way
+        # (wave 8) that is the measured-good 16 sub-buckets; at 256-way
+        # (wave 64) it is 4 — without this, 1024 groups/wave × waves made
+        # the politeness phase driver-bound and core-count-invariant
+        # (measured ~37 s flat at both 2 and 8 pinned cores).
+        sub_buckets = min(16, max(1, 256 // max(1, len(wave))))
         ranked = politeness_ranked(slim, cfg.politeness_budget,
                                    order=("priority", "url_canon"),
                                    max_rounds=cfg.politeness_max_rounds,
-                                   align_col="partition_id")
+                                   align_col="partition_id",
+                                   sub_buckets=sub_buckets)
         ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
         tp = _mark("politeness", tp)
 
