@@ -208,3 +208,25 @@ def test_hex_chars_2_matches_refsim(ray_session):
     for pid, rec in m.all().items():
         assert rec["counters"] == sim.counters[pid], f"counters @ {pid}"
     shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+
+
+def test_wave_size_invariance(ray_session):
+    """The wave is only the unit of execution — manifests, counters, and
+    schedules must be identical at any wave_size (determinism under
+    parallelism, SURVEY.md §7 hard-part a)."""
+    outs = {}
+    for ws in (4, 64):
+        cfg = PipelineConfig(checkpoint_dir=f"/tmp/graft_ckpt_ws{ws}")
+        shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+        s = run_crawl(SF, cfg, resume=False, wave_size=ws)
+        m = Manifest(s["out_root"], cfg.lease_timeout_s)
+        sched = {}
+        for pid in s["partitions_closed"]:
+            t = pq.read_table(f"{s['out_root']}/schedule/partition_id={pid}",
+                              columns=["url_canon", "politeness_rank"])
+            sched[pid] = sorted(zip(t.column("url_canon").to_pylist(),
+                                    t.column("politeness_rank").to_pylist()))
+        outs[ws] = (s["dispatch_order"], s["partitions_closed"],
+                    {p: r["counters"] for p, r in m.all().items()}, sched)
+        shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    assert outs[4] == outs[64]
