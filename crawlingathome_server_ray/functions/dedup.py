@@ -365,11 +365,16 @@ def normalize_rows(m: np.ndarray) -> np.ndarray:
 def distributed_components(edges, max_iter: int = 20,
                            num_partitions: int | None = None):
     """Distributed connected components over an edge Dataset/DataFrame
-    (a_id, b_id) via min-label propagation: every node repeatedly takes
-    the minimum label among itself and its neighbors; after O(diameter)
-    rounds each node holds its component's minimum id — exactly the
-    union-find result (``connected_components``), computed without the
-    edge set ever living on the driver.
+    (a_id, b_id) via min-label propagation WITH pointer-doubling label
+    shortcutting: each round every node takes the minimum label among
+    itself, its neighbors, and ``label(label(node))`` (labels are always
+    node ids, so the shortcut is one extra self-join). The shortcut halves
+    the remaining distance to the component minimum each round ⇒
+    convergence in O(log diameter) rounds instead of O(diameter) — a
+    60-node chain converges well inside the default max_iter (tested).
+    The fixed point is exactly the union-find result
+    (``connected_components``), computed without the edge set ever living
+    on the driver.
 
     Convergence is detected by the monotone invariant sum(labels): labels
     only ever decrease, so an unchanged sum ⇔ a fixed point. One extra
@@ -400,9 +405,15 @@ def distributed_components(edges, max_iter: int = 20,
                               np.asarray(b.column("b_id"), dtype=np.int64)])
         return pa.table({"node": pa.array(np.unique(ids), pa.int64())})
 
+    # NOTE the .repartition after each aggregate: Ray 2.49's hash aggregate
+    # emits SCHEMA-LESS empty blocks for partitions that received no
+    # groups; a downstream JoinOperator partition that unifies such a block
+    # into its build side loses the key column and dies with ArrowInvalid
+    # "No match ... FieldRef". repartition() concatenates blocks (labels is
+    # the small side — O(nodes) slim rows), squeezing the empties out.
     labels = (edges.map_batches(endpoints, batch_format="pyarrow")
               .groupby("node").aggregate(Min("node", alias_name="label"))
-              .materialize())
+              .repartition(num_partitions).materialize())
     prev_sum = None
     converged = False
     for _ in range(max_iter):
@@ -428,9 +439,21 @@ def distributed_components(edges, max_iter: int = 20,
             lambda b: pa.table({"node": b.column("node"),
                                 "label": b.column("label")}),
             batch_format="pyarrow")
-        labels = (self_msgs.union(m1, m2)
+        # pointer doubling: node's label L is itself a node; adopt L's
+        # label (≤ L) — halves the hop distance to the component min
+        lbl_tbl = labels.map_batches(
+            lambda b: pa.table({"lbl_key": b.column("node"),
+                                "label2": b.column("label")}),
+            batch_format="pyarrow")
+        m3 = (labels.join(lbl_tbl, join_type="inner",
+                          num_partitions=num_partitions, on=("label",),
+                          right_on=("lbl_key",))
+              .map_batches(lambda b: pa.table({"node": b.column("node"),
+                                               "label": b.column("label2")}),
+                           batch_format="pyarrow").materialize())
+        labels = (self_msgs.union(m1, m2, m3)
                   .groupby("node").aggregate(Min("label", alias_name="label"))
-                  .materialize())
+                  .repartition(num_partitions).materialize())
         cur = labels.aggregate(Sum("label", alias_name="s"))
         cur_sum = int(cur["s"])
         if prev_sum is not None and cur_sum == prev_sum:

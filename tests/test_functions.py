@@ -331,3 +331,21 @@ def test_pct_normalize_vector_matches_scalar(urls):
     # flag OFF remains byte-identical to the oracle-parity form
     off, _ = canonicalize_array(pa.array(urls, pa.string()))
     assert off.to_pylist() == [canonicalize_url(u) for u in urls]
+
+
+def test_distributed_components_long_chain_converges(ray_session):
+    """Pointer-doubling shortcut: a 60-hop chain (diameter ≫ plain-propagation
+    budget of 8 rounds) must still converge to the union-find labels with NO
+    unconverged warning."""
+    import warnings
+    import pandas as pd
+    from crawlingathome_server_ray.functions.dedup import (
+        connected_components, distributed_components)
+    edges = [(i, i + 1) for i in range(60)]
+    want = connected_components(edges)
+    df = pd.DataFrame(edges, columns=["a_id", "b_id"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got_ds = distributed_components(df, max_iter=8)
+    got = {int(r["node"]): int(r["label"]) for r in got_ds.take_all()}
+    assert got == want
