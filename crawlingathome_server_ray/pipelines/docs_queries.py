@@ -222,6 +222,10 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
             .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
                         [["a_id", "b_id"]],
                         batch_format="pandas")
+            # repartition before the joins: groupby outputs can carry
+            # schema-less empty blocks that crash a JoinOperator's build
+            # side (see dedup.distributed_components); pairs are slim
+            .repartition(_join_partitions())
             .materialize())  # candidate pairs only — ≪ corpus at any scale
     if cand.count() == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
