@@ -27,6 +27,8 @@ from crawlingathome_server_ray.pipelines.analytics import (ANALYTICS_QUERIES,
                                                            ANALYTICS_SQL,
                                                            q_url_sample,
                                                            sql_url_sample)
+from crawlingathome_server_ray.pipelines.curation_queries import (
+    CURATION_QUERIES, CURATION_SQL)
 from crawlingathome_server_ray.pipelines.docs_queries import (DOCS_QUERIES,
                                                               DOCS_SQL,
                                                               sql_binary_meta)
@@ -70,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(_FRONTIER_QUERIES)
     out.update(ANALYTICS_QUERIES)
     out.update(DOCS_QUERIES)
+    out.update(CURATION_QUERIES)
     out["url_sample"] = q_url_sample
     return out
 
@@ -79,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(frontier_oracle_sql(pages_path=pages_path(_SF_ORACLE)))
     sqls.update(ANALYTICS_SQL)
     sqls.update(DOCS_SQL)
+    sqls.update(CURATION_SQL)
     sqls["binary_meta"] = sql_binary_meta(pages_path(_SF_ORACLE))
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     return sqls

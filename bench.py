@@ -89,6 +89,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
     timed("cosine_near_dup_ivf",
           lambda: consume(dq.q_cosine_near_dup_ivf(sf_dir)))
+    from crawlingathome_server_ray.pipelines import curation_queries as cu
+    timed("tfidf_top_terms", lambda: consume(cu.q_tfidf_top_terms(sf_dir)))
+    timed("doc_decontaminate",
+          lambda: consume(cu.q_doc_decontaminate(sf_dir)))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)

@@ -1,0 +1,434 @@
+"""Corpus-curation operators for LLM training-data pipelines: TF-IDF
+term ranking, BM25 retrieval, Gopher-style repetition filtering,
+benchmark decontamination, and weighted sampling — all over the
+``documents`` table, all with DuckDB oracles.
+
+Scale notes (the patterns, per operator):
+
+- tf-idf / bm25 corpus stats ride the bucketed exact top-k pattern
+  (per-batch partial counts → hash-bucketed groupby → per-bucket top-k →
+  ≤ buckets·k driver merge) proven by ``docs_queries.q_top_bigrams``.
+- Float scores (idf, bm25, sampling keys) are computed identically on
+  both sides but NEVER emitted: DuckDB's ``ln`` and numpy's ``log``
+  differ in the last ulp (measured), so outputs carry only the integer /
+  string / boolean facts and floats are used for ordering alone.
+- Selection (top-k / bottom-k) is associative, so per-batch k-selection
+  → one shrink level → driver final keeps the driver merge bounded at
+  any corpus size (never #batches·k rows on the driver).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.canonicalize import md5_hash64
+
+BATCH = 8192
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns)
+
+
+def _tokens_doc_idx(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(tokens, doc_row_index) for a batch — Arrow whitespace split with
+    empty tokens dropped (≡ str.split() ≡ the oracle's
+    list_filter(regexp_split_to_array(...), x -> x <> ''))."""
+    texts = b.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(texts)
+    flat = lists.flatten()
+    counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    return np.asarray(flat, dtype=object)[keep], doc_of[keep]
+
+
+# SQL building block shared by every oracle below: whitespace tokens with
+# empties dropped, exactly matching _tokens_doc_idx.
+SQL_TOKS = ("list_filter(regexp_split_to_array(text, '\\s+'), "
+            "x -> x <> '')")
+
+
+# ------------------------------------------------------------------ tf-idf
+TFIDF_K = 20
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = TFIDF_K, n_buckets: int = 16):
+    """Global top-k terms by corpus tf·idf (idf = ln(N/df)).
+
+    Per-batch partial (term → tf, docs-in-batch df; exact because a doc
+    is one row and never spans batches) → hash-bucketed groupby so
+    per-bucket totals are exact → per-bucket top-k by score → ≤
+    buckets·k driver merge. The score is recomputed from the exact
+    integer (tf, df) at every level, so ordering is consistent; only
+    (term, tf, df) is emitted."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    empty = pa.table({"term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64()),
+                      "df": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int32())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        if len(toks) == 0:
+            return empty
+        per = (pd.DataFrame({"doc": doc_of, "term": toks})
+               .groupby(["term", "doc"], sort=False).size()
+               .reset_index(name="n"))
+        agg = per.groupby("term", sort=False)["n"].agg(["sum", "count"])
+        terms = agg.index.to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(terms) % n_buckets).astype(np.int32)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "tf": pa.array(agg["sum"].to_numpy(), pa.int64()),
+                         "df": pa.array(agg["count"].to_numpy(), pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        # same arithmetic as the oracle: tf * ln(N * 1.0 / df)
+        score = (df["tf"].to_numpy(np.float64)
+                 * np.log(n_docs / df["df"].to_numpy(np.float64)))
+        out = df.assign(_s=score).sort_values(
+            ["_s", "term"], ascending=[False, True], kind="mergesort").head(k)
+        return out[["term", "tf", "df"]]
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby("term", sort=False)[["tf", "df"]].sum()
+               .reset_index())
+        return rank(tot)
+
+    per_bucket = (ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=BATCH)
+                  .groupby("bucket").map_groups(bucket_topk,
+                                                batch_format="pandas"))
+    merged = per_bucket.to_pandas()  # ≤ n_buckets × k rows
+    return (rank(merged).reset_index(drop=True)
+            .astype({"tf": "int64", "df": "int64"}))
+
+
+SQL_TFIDF = f"""
+WITH t AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+s AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t GROUP BY term)
+SELECT term, tf, df FROM s
+ORDER BY tf * ln((SELECT count(*) FROM documents) * 1.0 / df) DESC, term
+LIMIT {TFIDF_K}"""
+
+
+# ------------------------------------------------------------------ BM25
+BM25_TERMS = ("hash", "merge", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 20
+
+
+def q_bm25_topk(sf_dir: str, k: int = BM25_K):
+    """BM25 top-k retrieval for a fixed query (Robertson idf,
+    ln((N-df+0.5)/(df+0.5)+1)).
+
+    Two passes: a stats pass reduces (N, total tokens, per-query-term df)
+    to one tiny row per batch (driver-combined — the query side is a
+    handful of terms, so this is a broadcast-small-side problem, not a
+    shuffle); a scoring pass then ranks every doc vectorized per batch,
+    keeps a per-batch top-k, one shrink level, final top-k on the
+    driver. Scores order the result but are dropped before emit (ulp
+    parity, see module docstring)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    terms = list(BM25_TERMS)
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        row = {"n_docs": [b.num_rows], "n_tokens": [int(len(toks))]}
+        for t in terms:
+            mask = toks == t
+            row[f"df_{t}"] = [int(len(np.unique(doc_of[mask])))]
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in row.items()})
+
+    st = (ds.map_batches(stats_partial, batch_format="pyarrow",
+                         batch_size=BATCH)
+          .to_pandas().sum())  # one int row per batch — tiny at any scale
+    n_docs = float(st["n_docs"])
+    avgdl = st["n_tokens"] * 1.0 / st["n_docs"]
+    idf = {t: np.log((n_docs - st[f"df_{t}"] + 0.5)
+                     / (st[f"df_{t}"] + 0.5) + 1.0) for t in terms}
+
+    def score(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        n = b.num_rows
+        dl = np.bincount(doc_of, minlength=n).astype(np.float64)
+        s = np.zeros(n, dtype=np.float64)
+        tfs = {}
+        for t in terms:
+            tf = np.bincount(doc_of[toks == t],
+                             minlength=n).astype(np.float64)
+            tfs[t] = tf
+            denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+            s += idf[t] * (tf * (BM25_K1 + 1.0)) / denom
+        hit = np.zeros(n, dtype=bool)
+        for t in terms:
+            hit |= tfs[t] > 0
+        order = np.lexsort((np.asarray(b.column("doc_id")), -s))
+        order = order[hit[order]][:k]
+        return pa.table({
+            "doc_id": pa.array(
+                np.asarray(b.column("doc_id"), np.int64)[order], pa.int64()),
+            "dl": pa.array(dl[order].astype(np.int64), pa.int64()),
+            **{f"tf_{t}": pa.array(tfs[t][order].astype(np.int64),
+                                   pa.int64()) for t in terms},
+            "_s": pa.array(s[order], pa.float64())})
+
+    def shrink(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["_s", "doc_id"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = (ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
+             .repartition(4)
+             .map_batches(shrink, batch_format="pyarrow", batch_size=None)
+             .to_pandas())  # ≤ 4·k rows
+    out = cands.sort_values(["_s", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k).drop(columns="_s")
+    return out.reset_index(drop=True).astype(
+        {c: "int64" for c in out.columns})
+
+
+def _sql_bm25() -> str:
+    tf_cols = ",\n        ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS tf_{t}" for t in BM25_TERMS)
+    score_terms = " + ".join(
+        f"""(SELECT ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             FROM df WHERE df.term = '{t}')
+            * (tf.tf_{t} * ({BM25_K1} + 1.0))
+            / (tf.tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))"""
+        for t in BM25_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(len(toks)) * 1.0 / count(*) AS avgdl FROM d),
+t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM t WHERE term IN ({in_list}) GROUP BY term),
+tf AS (
+  SELECT doc_id, {tf_cols}
+  FROM t WHERE term IN ({in_list}) GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d)
+SELECT tf.doc_id, dl.dl,
+       {", ".join(f"tf.tf_{t}" for t in BM25_TERMS)}
+FROM tf JOIN dl USING (doc_id), st
+ORDER BY {score_terms} DESC, tf.doc_id
+LIMIT {BM25_K}"""
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition metrics per doc — total tokens, distinct
+    tokens, top-token multiplicity — plus the keep verdict (top token ≤
+    20% of the doc AND ≥ 25% of tokens distinct). One streaming pass,
+    pandas C-level groupby per batch, no shuffle; all-integer output."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        doc_ids = np.asarray(b.column("doc_id"), np.int64)
+        if len(toks) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_unique": pa.array([], pa.int64()),
+                             "top_tf": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        per = (pd.DataFrame({"doc": doc_of, "term": toks})
+               .groupby(["doc", "term"], sort=False).size())
+        g = per.groupby(level=0)
+        n_tok = g.sum()
+        n_uniq = g.size()
+        top = g.max()
+        docs = n_tok.index.to_numpy()
+        n_tok_v = n_tok.to_numpy(np.int64)
+        n_uniq_v = n_uniq.to_numpy(np.int64)
+        top_v = top.to_numpy(np.int64)
+        keep = (top_v * 5 <= n_tok_v) & (n_uniq_v * 4 >= n_tok_v)
+        return pa.table({"doc_id": pa.array(doc_ids[docs], pa.int64()),
+                         "n_tokens": pa.array(n_tok_v, pa.int64()),
+                         "n_unique": pa.array(n_uniq_v, pa.int64()),
+                         "top_tf": pa.array(top_v, pa.int64()),
+                         "keep": pa.array(keep)})
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents),
+c AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY doc_id, term)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(max(n) AS BIGINT) AS top_tf,
+       (max(n) * 5 <= sum(n) AND count(*) * 4 >= sum(n)) AS keep
+FROM c GROUP BY doc_id"""
+
+
+# --------------------------------------------------------- decontamination
+DECON_NGRAM = 5
+DECON_MOD, DECON_REM = 10, 7  # benchmark := doc_id % 10 == 7
+
+
+def _gram_hashes(b: pa.Table, n: int = DECON_NGRAM
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """(md5-64 hashes of token n-grams, doc_row_index). Grams are built as
+    the literal space-joined strings (so the hash keys the exact string
+    the oracle compares) and hashed with the vectorized md5 kernel —
+    equality of 64-bit md5 prefixes stands in for string equality
+    (collision odds ~1e-10 at 1e5 distinct grams; cryptographically
+    negligible at any corpus size)."""
+    toks, doc_of = _tokens_doc_idx(b)
+    if len(toks) < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    adj = doc_of[: -(n - 1)] == doc_of[n - 1:]
+    if not adj.any():
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    parts = [pd.Series(toks[j: len(toks) - (n - 1) + j][adj])
+             for j in range(n)]
+    grams = parts[0].str.cat(parts[1:], sep=" ").to_numpy(dtype=object)
+    return md5_hash64(grams), doc_of[: -(n - 1)][adj]
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any token
+    5-gram with the held-out benchmark slice (doc_id % 10 == 7) — the
+    n-gram-overlap decontamination step of LLM training pipelines.
+
+    Pass 1 streams the benchmark slice into a distinct gram-hash set
+    (benchmark suites are small by definition — MBs — so collecting and
+    broadcasting the sorted hash array via ray.put is the
+    broadcast-small-side pattern, not a scalability cheat). Pass 2
+    streams the corpus, membership-tests each doc's grams with
+    searchsorted, and emits (doc_id, contaminated) for every
+    non-benchmark doc — including gram-less short docs."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        h, _ = _gram_hashes(b.filter(pa.array(ids % DECON_MOD == DECON_REM)))
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    parts = [np.asarray(t.column("h"), np.uint64)
+             for t in ds.map_batches(bench_grams, batch_format="pyarrow",
+                                     batch_size=BATCH)
+             .iter_batches(batch_format="pyarrow")]
+    bench = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, np.uint64)
+    bench_ref = ray.put(bench)
+
+    def flag(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        b = b.filter(pa.array(ids % DECON_MOD != DECON_REM))
+        ref = ray.get(bench_ref)
+        h, doc_of = _gram_hashes(b)
+        cont = np.zeros(b.num_rows, dtype=bool)
+        if len(h) and len(ref):
+            pos = np.searchsorted(ref, h)
+            pos[pos == len(ref)] = 0
+            hits = ref[pos] == h
+            cont[np.unique(doc_of[hits])] = True
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "contaminated": pa.array(cont)})
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=BATCH)
+
+
+def _sql_decontaminate() -> str:
+    n = DECON_NGRAM
+    concat = " || ' ' || ".join(f"d.toks[t.i + {j}]" for j in range(n))
+    return f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, {concat} AS gram
+  FROM d, LATERAL unnest(range(1, len(d.toks) - {n - 2})) AS t(i)),
+bench AS (SELECT DISTINCT gram FROM g
+          WHERE doc_id % {DECON_MOD} = {DECON_REM}),
+hit AS (SELECT DISTINCT doc_id FROM g
+        WHERE gram IN (SELECT gram FROM bench))
+SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS contaminated
+FROM documents WHERE doc_id % {DECON_MOD} <> {DECON_REM}"""
+
+
+# ------------------------------------------------------- weighted sampling
+WSAMPLE_K = 32
+
+
+def q_doc_weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """Deterministic weighted sample without replacement, weight =
+    n_chars (Efraimidis-Spirakis via exponential keys: keep the k
+    smallest e = -ln(u)/w, u a 60-bit md5 uniform — so longer docs are
+    proportionally likelier, and the sample is a pure function of the
+    data). Per-batch bottom-k → one shrink level → driver final; the
+    float key orders but is never emitted."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        w = np.asarray(b.column("n_chars"), np.float64)
+        h = md5_hash64(np.char.mod("%d", ids))
+        u = (h >> np.uint64(4)).astype(np.float64) / np.float64(2 ** 60)
+        e = -np.log(u) / w
+        order = np.lexsort((ids, e))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "_e": pa.array(e[order], pa.float64())})
+
+    def shrink(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["_e", "doc_id"],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = (ds.map_batches(keys, batch_format="pyarrow", batch_size=BATCH)
+             .repartition(4)
+             .map_batches(shrink, batch_format="pyarrow", batch_size=None)
+             .to_pandas())  # ≤ 4·k rows
+    out = cands.sort_values(["_e", "doc_id"], kind="mergesort").head(k)
+    return out[["doc_id"]].reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+SQL_WSAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         -ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             AS UBIGINT) / 1152921504606846976.0) / n_chars AS e
+  FROM documents)
+SELECT doc_id FROM keyed ORDER BY e, doc_id LIMIT {WSAMPLE_K}"""
+
+
+CURATION_QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_topk": q_bm25_topk,
+    "doc_repetition": q_doc_repetition,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_weighted_sample": q_doc_weighted_sample,
+}
+
+CURATION_SQL = {
+    "tfidf_top_terms": SQL_TFIDF,
+    "bm25_topk": _sql_bm25(),
+    "doc_repetition": SQL_REPETITION,
+    "doc_decontaminate": _sql_decontaminate(),
+    "doc_weighted_sample": SQL_WSAMPLE,
+}

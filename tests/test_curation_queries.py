@@ -1,0 +1,72 @@
+"""Curation operators (tf-idf / BM25 / repetition / decontamination /
+weighted sampling) vs DuckDB oracles, plus semantic checks."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF, assert_frames_match, to_pandas
+from crawlingathome_server_ray.pipelines import curation_queries as cq
+from test_analytics import _con
+
+
+@pytest.mark.parametrize("name", sorted(cq.CURATION_SQL))
+def test_curation_query_matches_oracle(ray_session, name):
+    con = _con(SF)
+    oracle = con.execute(cq.CURATION_SQL[name]).df()
+    result = cq.CURATION_QUERIES[name](SF)
+    assert_frames_match(result, oracle, name)
+
+
+def test_weighted_sample_prefers_long_docs(ray_session):
+    """E-S exponential keys with weight = n_chars must overrepresent long
+    docs: the sample's mean length exceeds the corpus mean (deterministic
+    — the sample is a pure function of the data)."""
+    sample = to_pandas(cq.q_doc_weighted_sample(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    sampled = docs[docs.doc_id.isin(sample.doc_id)]
+    assert len(sample) == cq.WSAMPLE_K
+    assert sampled.n_chars.mean() > docs.n_chars.mean()
+
+
+def test_decontaminate_flags_share_a_gram(ray_session):
+    """Every contaminated doc genuinely shares a token 5-gram with the
+    benchmark slice (scalar recheck, no hashing)."""
+    out = to_pandas(cq.q_doc_decontaminate(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    text = dict(zip(docs.doc_id, docs.text))
+
+    def grams(s):
+        t = s.split()
+        return {" ".join(t[i:i + cq.DECON_NGRAM])
+                for i in range(len(t) - cq.DECON_NGRAM + 1)}
+
+    bench = set()
+    for d, s in text.items():
+        if d % cq.DECON_MOD == cq.DECON_REM:
+            bench |= grams(s)
+    flagged = out[out.contaminated].doc_id.tolist()
+    assert len(flagged) > 0  # calibrated: ~1% of the synthetic corpus
+    for d in flagged:
+        assert grams(text[int(d)]) & bench, f"doc {d} flagged but clean"
+    clean = out[~out.contaminated].doc_id.tolist()
+    for d in clean[:50]:  # spot-check the negative direction
+        assert not (grams(text[int(d)]) & bench), f"doc {d} clean but dirty"
+
+
+def test_bm25_scores_are_query_term_driven(ray_session):
+    """Every BM25 hit contains at least one query term, and the top hit's
+    summed query-term tf is positive."""
+    out = to_pandas(cq.q_bm25_topk(SF))
+    tf_cols = [f"tf_{t}" for t in cq.BM25_TERMS]
+    assert (out[tf_cols].sum(axis=1) > 0).all()
+
+
+def test_repetition_keep_rule(ray_session):
+    out = to_pandas(cq.q_doc_repetition(SF))
+    expect = ((out.top_tf * 5 <= out.n_tokens)
+              & (out.n_unique * 4 >= out.n_tokens))
+    assert (out.keep == expect).all()
+    assert 0 < out.keep.sum() < len(out)  # the filter actually splits
