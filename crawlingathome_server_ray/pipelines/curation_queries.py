@@ -372,6 +372,87 @@ SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS contaminated
 FROM documents WHERE doc_id % {DECON_MOD} <> {DECON_REM}"""
 
 
+# ------------------------------------------------- cross-doc repeated n-grams
+REPGRAM_BUCKETS = 64
+
+
+def q_doc_repeated_ngrams(sf_dir: str, n_buckets: int = REPGRAM_BUCKETS):
+    """Per-doc count of token 5-gram positions whose gram occurs ≥2 times
+    corpus-wide — the measurement step of exact-substring dedup ("how
+    much of this doc is boilerplate repeated elsewhere?").
+
+    Unlike decontamination there is no small side to broadcast (the
+    repeated-gram set is corpus-scale), so this is the canonical
+    explode→bucketed-count→per-doc-reduce shape: per-batch (gram_hash,
+    doc_id, multiplicity) partials → groupby(gram bucket) where each
+    bucket totals its grams and converts every position into a per-doc
+    (n_grams, n_repeated) contribution → groupby(doc bucket) sums. Two
+    bucketed shuffles of the shrunk partials; the raw gram explosion
+    never leaves the first map. md5-64 gram hashing as in
+    decontamination (collision odds negligible; documented there)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, doc_of = _gram_hashes(b)
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        if len(h) == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        per = (pd.DataFrame({"h": h, "doc_id": ids[doc_of]})
+               .groupby(["h", "doc_id"], sort=False).size()
+               .reset_index(name="m"))
+        bucket = (per["h"].to_numpy(np.uint64)
+                  % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"h": pa.array(per["h"].to_numpy(np.uint64),
+                                       pa.uint64()),
+                         "doc_id": pa.array(per["doc_id"].to_numpy(),
+                                            pa.int64()),
+                         "m": pa.array(per["m"].to_numpy(np.int64),
+                                       pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def gram_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h", sort=False)["m"].transform("sum")
+        rep = np.where(tot.to_numpy() >= 2, g["m"].to_numpy(np.int64), 0)
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                            "n_grams": g["m"].to_numpy(np.int64),
+                            "n_repeated": rep})
+        out = out.groupby("doc_id", sort=False).sum().reset_index()
+        out["doc_bucket"] = (out["doc_id"] % n_buckets).astype(np.int32)
+        return out
+
+    def doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("doc_id", sort=False)[["n_grams", "n_repeated"]]
+               .sum().reset_index())
+        return out.astype({"n_grams": "int64", "n_repeated": "int64"})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=BATCH)
+            .groupby("bucket").map_groups(gram_bucket,
+                                          batch_format="pandas")
+            .groupby("doc_bucket").map_groups(doc_bucket,
+                                              batch_format="pandas")
+            .select_columns(["doc_id", "n_grams", "n_repeated"]))
+
+
+def _sql_repeated_ngrams() -> str:
+    n = DECON_NGRAM
+    concat = " || ' ' || ".join(f"d.toks[t.i + {j}]" for j in range(n))
+    return f"""
+WITH d AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, {concat} AS gram
+  FROM d, LATERAL unnest(range(1, len(d.toks) - {n - 2})) AS t(i)),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated
+FROM g JOIN c USING (gram) GROUP BY doc_id"""
+
+
 # ------------------------------------------------------- weighted sampling
 WSAMPLE_K = 32
 
@@ -422,6 +503,7 @@ CURATION_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_repeated_ngrams": q_doc_repeated_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
 }
 
@@ -430,5 +512,6 @@ CURATION_SQL = {
     "bm25_topk": _sql_bm25(),
     "doc_repetition": SQL_REPETITION,
     "doc_decontaminate": _sql_decontaminate(),
+    "doc_repeated_ngrams": _sql_repeated_ngrams(),
     "doc_weighted_sample": SQL_WSAMPLE,
 }
