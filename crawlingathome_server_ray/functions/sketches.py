@@ -220,3 +220,111 @@ def heavy_hitters_exact(ds, column: str, phi: float, k: int = 256,
     out = exact[exact["n_urls"] > phi * n_total]
     return (out.sort_values(["n_urls", column], ascending=[False, True])
             .reset_index(drop=True).astype({"n_urls": "int64"}))
+
+
+class QuantileSketch:
+    """Mergeable KLL-style quantile sketch (Karnin, Lang & Liberty 2016)
+    with DETERMINISTIC compaction: level i holds ≤ k sorted values of
+    weight 2^i; an overflowing level sorts and promotes every second
+    element (fixed odd offset) to level i+1. KLL randomizes the offset to
+    unbias the estimate; the deterministic variant trades a small
+    systematic rank bias (still O(levels/k) relative rank error) for
+    bit-reproducible pipelines — the right trade here, where the driver
+    re-runs jobs and compares results. Merging concatenates levels
+    pairwise then re-compacts, so per-batch sketches tree-reduce exactly
+    like the HLL/MG sketches above."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, buf in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                buf = np.sort(self.levels[i])
+                promoted = buf[1::2]  # deterministic odd-offset selection
+                self.levels[i] = np.empty(0, dtype=np.float64)
+                if len(self.levels) == i + 1:
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], promoted])
+            i += 1
+
+    def quantile(self, q: float) -> float:
+        """Discrete quantile by weighted rank — the element whose
+        cumulative weight first reaches ceil(q·W) (DuckDB's
+        quantile_disc rule applied to the weighted summary)."""
+        vals = np.concatenate(self.levels)
+        if len(vals) == 0:
+            return float("nan")
+        wts = np.concatenate([
+            np.full(len(buf), 1 << i, dtype=np.int64)
+            for i, buf in enumerate(self.levels)])
+        order = np.argsort(vals, kind="mergesort")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        rank = max(1, int(np.ceil(q * cum[-1])))
+        return float(vals[np.searchsorted(cum, rank)])
+
+    def serialize(self) -> bytes:
+        import pickle
+        return pickle.dumps((self.k, [buf.tobytes() for buf in self.levels]))
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "QuantileSketch":
+        import pickle
+        k, bufs = pickle.loads(b)
+        s = cls(k)
+        s.levels = [np.frombuffer(raw, dtype=np.float64).copy()
+                    for raw in bufs]
+        return s
+
+
+def quantiles_sketched(ds, column: str, qs: tuple = (0.5, 0.9, 0.99),
+                       k: int = 256, sketch_batch_size: int = 65536,
+                       merge_fanout: int = 64) -> dict:
+    """Approximate quantiles of an UNBOUNDED/continuous column via
+    mergeable sketches — the scale path complementing the exact
+    value-count-histogram quantiles (docs_queries.q_doc_length_quantiles),
+    which require a bounded discrete domain. Same topology as
+    hll_distinct: one sketch per batch → distributed tree-reduce merge
+    level → driver merge of the few survivors; at 10^10 rows the shuffle
+    carries KB-size summaries, never the values."""
+    import pyarrow as pa
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        s.add(np.asarray(batch.column(column), dtype=np.float64))
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    def merge_level(batch: pa.Table) -> pa.Table:
+        acc = None
+        for raw in batch.column("sketch").to_pylist():
+            s = QuantileSketch.deserialize(raw)
+            acc = s if acc is None else acc.merge(s)
+        return pa.table({"sketch": pa.array([acc.serialize()], pa.binary())})
+
+    total = QuantileSketch(k)
+    reduced = (ds.map_batches(sketch_batch, batch_format="pyarrow",
+                              batch_size=sketch_batch_size)
+               .map_batches(merge_level, batch_format="pyarrow",
+                            batch_size=merge_fanout))
+    for b in reduced.iter_batches(batch_format="pyarrow", batch_size=1024):
+        for raw in b.column("sketch").to_pylist():
+            total.merge(QuantileSketch.deserialize(raw))
+    return {f"p{int(q * 100)}": total.quantile(q) for q in qs}

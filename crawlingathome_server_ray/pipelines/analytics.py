@@ -771,6 +771,22 @@ SELECT url, warc_ts FROM read_parquet('{pages_path}/*.parquet')
 WHERE substr(md5(url), 1, 1) = '0'"""
 
 
+
+def q_price_quantiles_sketch(sf_dir: str):
+    """Approximate p50/p90/p99 of l_extendedprice via the mergeable
+    KLL-style QuantileSketch (rows-only for the driver — approximate by
+    design; rank accuracy vs the exact quantile is pytest-bounded). The
+    scale path for quantiles over continuous domains, where the exact
+    value-count-histogram trick (q_doc_length_quantiles) would shuffle
+    an unbounded number of distinct values."""
+    import pandas as pd
+
+    from ..functions.sketches import quantiles_sketched
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    out = quantiles_sketched(li, "l_extendedprice")
+    return pd.DataFrame([out])
+
+
 ANALYTICS_QUERIES = {
     "revenue_per_nation": q_revenue_per_nation,
     "shard_number": q_shard_number,
@@ -790,6 +806,7 @@ ANALYTICS_QUERIES = {
     "union_partitions": q_union_partitions,
     "eta_window": q_eta_window,
     "lineitem_agg": q_lineitem_agg,
+    "price_quantiles_sketch": q_price_quantiles_sketch,  # rows-only
 }
 
 ANALYTICS_SQL = {

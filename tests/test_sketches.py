@@ -69,3 +69,66 @@ def test_mg_tree_merge_same_exact_result(ray_session):
                             sketch_batch_size=256, merge_fanout=4)
     assert a.equals(b)
     assert set(a["h"]) == {"hot", "warm"}
+
+
+def test_quantile_sketch_rank_accuracy():
+    from crawlingathome_server_ray.functions.sketches import QuantileSketch
+    rng = np.random.default_rng(7)
+    data = rng.lognormal(3, 1, 100_000)
+    s = QuantileSketch(256)
+    for chunk in np.array_split(data, 20):
+        s.add(chunk)
+    srt = np.sort(data)
+    for q in (0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+
+
+def test_quantile_sketch_merge_and_roundtrip():
+    from crawlingathome_server_ray.functions.sketches import QuantileSketch
+    rng = np.random.default_rng(11)
+    data = rng.normal(100, 15, 50_000)
+    parts = [QuantileSketch(256) for _ in range(8)]
+    for p, chunk in zip(parts, np.array_split(data, 8)):
+        p.add(chunk)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(QuantileSketch.deserialize(p.serialize()))
+    srt = np.sort(data)
+    for q in (0.5, 0.9, 0.99):
+        rank = np.searchsorted(srt, merged.quantile(q)) / len(srt)
+        assert abs(rank - q) < 0.02
+
+
+def test_quantile_sketch_deterministic():
+    from crawlingathome_server_ray.functions.sketches import QuantileSketch
+    rng = np.random.default_rng(3)
+    data = rng.exponential(5, 30_000)
+
+    def build():
+        s = QuantileSketch(128)
+        for chunk in np.array_split(data, 10):
+            s.add(chunk)
+        return s
+
+    assert build().quantile(0.9) == build().quantile(0.9)
+
+
+def test_price_quantiles_sketch_vs_exact(ray_session):
+    """The dataset-level sketch quantiles land within 2% rank of the exact
+    DuckDB quantile_disc on lineitem prices."""
+    import duckdb
+    from crawlingathome_server_ray.pipelines.analytics import \
+        q_price_quantiles_sketch
+    SF = "/root/testdata/sf0.001"
+    out = q_price_quantiles_sketch(SF).iloc[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    prices = np.sort(con.execute(
+        "SELECT l_extendedprice FROM lineitem").df()["l_extendedprice"]
+        .to_numpy())
+    for q in (0.5, 0.9, 0.99):
+        rank = np.searchsorted(prices, out[f"p{int(q*100)}"]) / len(prices)
+        assert abs(rank - q) < 0.02, (q, rank)
