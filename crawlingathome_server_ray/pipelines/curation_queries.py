@@ -134,7 +134,7 @@ BM25_B = 0.75
 BM25_K = 20
 
 
-def q_bm25_topk(sf_dir: str, k: int = BM25_K):
+def q_bm25_topk(sf_dir: str, k: int = BM25_K, query_terms: tuple = BM25_TERMS):
     """BM25 top-k retrieval for a fixed query (Robertson idf,
     ln((N-df+0.5)/(df+0.5)+1)).
 
@@ -146,7 +146,7 @@ def q_bm25_topk(sf_dir: str, k: int = BM25_K):
     driver. Scores order the result but are dropped before emit (ulp
     parity, see module docstring)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    terms = list(BM25_TERMS)
+    terms = list(query_terms)
 
     def stats_partial(b: pa.Table) -> pa.Table:
         toks, doc_of = _tokens_doc_idx(b)
@@ -199,6 +199,10 @@ def q_bm25_topk(sf_dir: str, k: int = BM25_K):
              .repartition(4)
              .map_batches(shrink, batch_format="pyarrow", batch_size=None)
              .to_pandas())  # ≤ 4·k rows
+    if "_s" not in cands.columns:  # zero hits anywhere: Ray emits only
+        # schema-less empty blocks and to_pandas loses the columns
+        cols = ["doc_id", "dl"] + [f"tf_{t}" for t in terms]
+        return pd.DataFrame({c: pd.array([], dtype="int64") for c in cols})
     out = cands.sort_values(["_s", "doc_id"], ascending=[False, True],
                             kind="mergesort").head(k).drop(columns="_s")
     return out.reset_index(drop=True).astype(

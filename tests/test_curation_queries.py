@@ -70,3 +70,12 @@ def test_repetition_keep_rule(ray_session):
               & (out.n_unique * 4 >= out.n_tokens))
     assert (out.keep == expect).all()
     assert 0 < out.keep.sum() < len(out)  # the filter actually splits
+
+
+def test_bm25_no_hits_returns_empty_typed_frame(ray_session):
+    """Query terms absent from the corpus: every block is empty (Ray drops
+    the schema on all-empty output) — the query must still return the
+    typed empty frame, not crash."""
+    out = to_pandas(cq.q_bm25_topk(SF, query_terms=("zzz_nope",)))
+    assert list(out.columns) == ["doc_id", "dl", "tf_zzz_nope"]
+    assert len(out) == 0
