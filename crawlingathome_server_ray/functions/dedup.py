@@ -75,8 +75,11 @@ def batch_shingle_hashes(h: np.ndarray, offs: np.ndarray,
                          k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc k-token shingle hashes, vectorized over the flat token-hash
     array: shingle(i) = iterated splitmix-fold of h[i..i+k-1] within the
-    doc. Docs with 0 < t < k tokens get ONE shingle folding all t hashes
-    (mirrors ``shingles()``'s short-doc rule); empty docs get none.
+    doc, position-sensitive (acc·GOLD ⊕ next before each splitmix — a
+    plain ⊕ fold made the first two tokens commute, so "x y z" and
+    "y x z" collided; caught by the exact similarity-join oracle). Docs
+    with 0 < t < k tokens get ONE shingle folding all t hashes (mirrors
+    ``shingles()``'s short-doc rule); empty docs get none.
     Returns (flat shingle hashes, int64 offsets[n+1])."""
     T = len(h)
     n = len(offs) - 1
@@ -91,7 +94,7 @@ def batch_shingle_hashes(h: np.ndarray, offs: np.ndarray,
         take = pos + j
         valid = take < ends_flat
         nxt = np.where(valid, h[np.minimum(take, T - 1)], np.uint64(0))
-        acc = np.where(valid, _splitmix(acc ^ nxt), acc)
+        acc = np.where(valid, _splitmix((acc * _GOLD) ^ nxt), acc)
     tlen = ends_flat - starts_flat
     valid_sh = (pos + k <= ends_flat) | ((pos == starts_flat) & (tlen < k))
     sh = acc[valid_sh]
@@ -175,7 +178,8 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def jaccard_pairs_hashed(texts_a, texts_b, k: int = 3) -> np.ndarray:
+def jaccard_pairs_hashed(texts_a, texts_b, k: int = 3,
+                         return_counts: bool = False):
     """Vectorized n-gram Jaccard for ALIGNED text pairs — the map_batches
     verify kernel for MinHash candidates. All tokenizing/shingling is one
     whole-batch pass (``batch_token_hashes`` + ``batch_shingle_hashes``)
@@ -184,12 +188,18 @@ def jaccard_pairs_hashed(texts_a, texts_b, k: int = 3) -> np.ndarray:
     pair's Jaccard is a numpy sorted-set intersection over uint64 shingle
     hashes — no per-pair Python shingling or ``set`` ops.
 
+    With ``return_counts`` returns ``(sims, inter, na, nb)`` — the exact
+    intersection / set sizes behind each Jaccard (int64), which the exact
+    similarity-join query emits alongside the ratio.
+
     Equals the scalar :func:`jaccard` (string shingle sets) up to 64-bit
     hash collisions (~n²/2⁶⁴ — negligible); asserted equal on edge cases in
     tests/test_functions.py."""
     n = len(texts_a)
     if n == 0:
-        return np.zeros(0, np.float64)
+        z = np.zeros(0, np.int64)
+        return ((np.zeros(0, np.float64), z, z, z) if return_counts
+                else np.zeros(0, np.float64))
     all_texts = np.concatenate([np.asarray(texts_a, dtype=object),
                                 np.asarray(texts_b, dtype=object)])
     codes, uniq = pd.factorize(all_texts)
@@ -198,14 +208,54 @@ def jaccard_pairs_hashed(texts_a, texts_b, k: int = 3) -> np.ndarray:
     sets = [np.unique(sh[offs[i]:offs[i + 1]]) for i in range(len(uniq))]
     ca, cb = codes[:n], codes[n:]
     out = np.empty(n, dtype=np.float64)
+    inter_n = np.zeros(n, dtype=np.int64)
+    na_n = np.zeros(n, dtype=np.int64)
+    nb_n = np.zeros(n, dtype=np.int64)
     for i in range(n):
         sa, sb = sets[ca[i]], sets[cb[i]]
+        na_n[i], nb_n[i] = len(sa), len(sb)
         if not len(sa) and not len(sb):
             out[i] = 1.0
             continue
         inter = np.intersect1d(sa, sb, assume_unique=True).size
+        inter_n[i] = inter
         out[i] = inter / (len(sa) + len(sb) - inter)
+    if return_counts:
+        return out, inter_n, na_n, nb_n
     return out
+
+
+def prefix_filter_rows(texts, ids: np.ndarray, threshold: float,
+                       k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-generation kernel of the EXACT set-similarity join
+    (prefix filtering, Bayardo/Chaudhuri all-pairs; distributed layout as
+    in Vernica et al., SIGMOD'10): for each doc compute its sorted-unique
+    k-shingle-hash set S_d (ascending uint64 hash = the global total
+    order) and emit only the first ``|S_d| − ⌈t·|S_d|⌉ + 1`` hashes as
+    (shingle_hash, doc_id) rows.
+
+    Lemma (no false negatives): J(a,b) ≥ t ⟹ |S_a∩S_b| ≥ t·|S_d| for each
+    side, so prefixes of length |S_d| − ⌈t·|S_d|⌉ + 1 under ANY shared
+    total order must intersect. The ceil is taken recall-safe against
+    float slop (⌈t·n − 1e−9⌉: rounding DOWN only lengthens the prefix).
+    Fully vectorized: one lexsort per batch, no per-doc Python loop."""
+    sh, offs = batch_shingle_hashes(*batch_token_hashes(texts), k=k)
+    n_docs = len(offs) - 1
+    if len(sh) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    order = np.lexsort((sh, doc_of))
+    d, s = doc_of[order], sh[order]
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    d_u, s_u = d[first], s[first]          # per-doc sorted unique shingles
+    n_d = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+    alpha = np.ceil(threshold * n_d - 1e-9).astype(np.int64)
+    p_d = np.maximum(n_d - alpha + 1, 1)   # prefix length per doc
+    starts = np.concatenate(([0], np.cumsum(n_d)))
+    rank = np.arange(len(d_u), dtype=np.int64) - starts[d_u]
+    keep = rank < p_d[d_u]
+    return s_u[keep], np.asarray(ids, np.int64)[d_u[keep]]
 
 
 # ---------------------------------------------------------------- SimHash

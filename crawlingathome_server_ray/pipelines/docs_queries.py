@@ -326,6 +326,140 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
+# ------------------------------------------- exact set-similarity join
+NGRAM_JACCARD_THRESHOLD = 0.8
+# Degenerate-skew guard on prefix-shingle groups: a shingle shared by more
+# prefixes than this gets triu expansion for the first cap members + a
+# spanning star for the tail (pairs_from_groups). Below the cap the join is
+# EXACT (the prefix-filter lemma has no false negatives and verify has no
+# false positives); a group above it means >4096 docs share a rare-position
+# shingle — a mass-duplication pathology where cluster-level dedup, not an
+# exhaustive pair list, is the sane product. triu memory is the binding
+# constraint: 4096² ≈ 8.4M pair slots per group.
+PREFIX_MAX_GROUP = 4096
+
+
+def q_ngram_jaccard_dup(sf_dir: str,
+                        threshold: float = NGRAM_JACCARD_THRESHOLD,
+                        k: int = 3):
+    """EXACT n-gram-Jaccard similarity self-join over documents: every
+    pair (a<b) with shingle-set Jaccard ≥ threshold, with the exact
+    intersection/union sizes and the ratio. The exact counterpart of the
+    approximate minhash/simhash family — same shingle semantics
+    (3-token shingles, short-doc one-shingle rule), but candidate
+    generation is prefix filtering (Bayardo et al. WWW'07; distributed
+    layout as in Vernica et al. SIGMOD'10) instead of LSH, so recall is 1
+    by construction and a DuckDB string-gram oracle checks it exactly
+    (hash-vs-string gram identity differs only on 64-bit collisions).
+
+    Plan: map_batches prefix explode (``prefix_filter_rows`` — slim
+    (uint64, int64) rows, texts never shuffle) → bucketed groupby pair
+    expansion → bucketed pair dedup → two native hash joins fetch
+    candidate texts → whole-batch vectorized Jaccard verify
+    (``jaccard_pairs_hashed`` with counts). Identical shuffle shape to
+    q_minhash_dedup; only the candidate key differs."""
+    from ..functions.dedup import prefix_filter_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        h, ids = prefix_filter_rows(b.column("text"),
+                                    np.asarray(b.column("doc_id"), np.int64),
+                                    threshold=threshold, k=k)
+        bucket = (np.zeros(0, np.int32) if len(h) == 0 else
+                  _lsh_bucket(np.zeros(len(h), np.int32), h))
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = pairs_from_groups([g["h"].to_numpy(np.uint64)],
+                                 g["doc_id"].to_numpy(np.int64),
+                                 max_group=PREFIX_MAX_GROUP)
+        return pd.DataFrame({"a_id": a, "b_id": b,
+                             "pair_bucket": _pair_bucket(a, b)})
+
+    empty = pd.DataFrame({"a_id": pd.array([], dtype="int64"),
+                          "b_id": pd.array([], dtype="int64"),
+                          "n_inter": pd.array([], dtype="int64"),
+                          "n_union": pd.array([], dtype="int64"),
+                          "jac": pd.array([], dtype="float64")})
+    cand = (ds.map_batches(prefix_rows, batch_format="pyarrow",
+                           batch_size=2048)
+            .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
+                        [["a_id", "b_id"]],
+                        batch_format="pandas")
+            .repartition(_join_partitions())
+            .materialize())  # candidate pairs only — ≪ corpus at any scale
+    if cand.count() == 0:
+        return empty
+
+    docs_a = ds.map_batches(
+        lambda b: pa.table({"a_id": b.column("doc_id"),
+                            "text_a": b.column("text")}),
+        batch_format="pyarrow", batch_size=BATCH)
+    docs_b = ds.map_batches(
+        lambda b: pa.table({"b_id": b.column("doc_id"),
+                            "text_b": b.column("text")}),
+        batch_format="pyarrow", batch_size=BATCH)
+    np_ = _join_partitions()
+    withtext = (cand.join(docs_a, join_type="inner", num_partitions=np_,
+                          on=("a_id",)).materialize()
+                .join(docs_b, join_type="inner", num_partitions=np_,
+                      on=("b_id",)))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sims, inter, na, nb = jaccard_pairs_hashed(
+            df["text_a"].to_numpy(dtype=object),
+            df["text_b"].to_numpy(dtype=object), k=k, return_counts=True)
+        ok = sims >= threshold
+        return pd.DataFrame({
+            "a_id": df["a_id"].to_numpy(np.int64)[ok],
+            "b_id": df["b_id"].to_numpy(np.int64)[ok],
+            "n_inter": inter[ok], "n_union": (na + nb - inter)[ok],
+            "jac": sims[ok]})
+
+    out = (withtext.map_batches(verify, batch_format="pandas",
+                                batch_size=4096)
+           .to_pandas())  # pairs ≥ threshold only: near-dup-sized output
+    if out.empty:
+        return empty
+    return (out.astype({"a_id": "int64", "b_id": "int64",
+                        "n_inter": "int64", "n_union": "int64"})
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+
+
+def _sql_ngram_jaccard(threshold: float = NGRAM_JACCARD_THRESHOLD,
+                       k: int = 3) -> str:
+    """String-gram oracle: DISTINCT k-token grams per doc (short docs
+    with 0<nt<k contribute their whole token list as one gram — the
+    Ray side's short-doc rule), exact intersection via gram self-join.
+    jac is int64→double division in both engines: IEEE-identical."""
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return f"""
+WITH lens AS (
+  SELECT doc_id, {toks} AS t, len({toks}) AS nt FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:least(i+{k - 1}, nt)], ' ') AS g
+  FROM lens, LATERAL unnest(range(1,
+       CASE WHEN nt >= {k} THEN nt - {k - 1}
+            WHEN nt > 0 THEN 1 ELSE 0 END + 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT a_id, b_id, CAST(c AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - c AS BIGINT) AS n_union,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
+ORDER BY a_id, b_id"""
+
+
 # ---------------------------------------------------------------- curation
 CURATE_MIN_CHARS = 100
 CURATE_MIN_TOKENS = 20
@@ -632,6 +766,7 @@ DOCS_QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "docs_curated": q_docs_curated,
     "top_bigrams": q_top_bigrams,
+    "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -651,6 +786,7 @@ DOCS_SQL = {
     "doc_stratified_sample": SQL_DOC_STRATIFIED,
     "docs_curated": SQL_DOCS_CURATED,
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "ngram_jaccard_dup": _sql_ngram_jaccard(),
     "ann_topk": SQL_ANN_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     # fingerprint / minhash / simhash / ivf: rows-only (non-SQL sketches)

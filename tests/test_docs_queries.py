@@ -191,3 +191,53 @@ def test_ivf_build_crash_safe_and_content_aware(ray_session):
         os.utime(f"{td}/embeddings.parquet", (2, 2))
         r_b = ann.ivf_build(td, n_clusters=8, seed=7)
         assert r_a != r_b
+
+
+def test_ngram_jaccard_exact_join_brute_force(ray_session, tmp_path):
+    """Prefix-filter exact similarity join == brute-force all-pairs scalar
+    Jaccard on an engineered corpus: exact-dup cluster, near-dups, short
+    docs (one-shingle rule), empty/whitespace docs (never pair — no grams,
+    matching the SQL oracle's inner join), permuted-prefix fold traps, and
+    a just-below-threshold pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from crawlingathome_server_ray.functions.dedup import jaccard, shingles
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [
+        base, base, base,                       # exact-dup cluster
+        base.replace("lazy", "sleepy", 1),      # near-dup of the cluster
+        base[: len(base) // 2],                 # ~half overlap: below 0.8
+        "a b", "a b", "a b c",                  # short docs (one shingle)
+        "", "   ",                              # no grams: never pair
+        "data stream data data engine x y z w v u t s",   # fold traps
+        "stream data data data engine x y z w v u t s",
+        "completely unrelated text about volcanoes erupting",
+    ]
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   tmp_path / "documents.parquet")
+
+    got = to_pandas(dq.q_ngram_jaccard_dup(str(tmp_path), threshold=0.8))
+
+    want = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            sa, sb = set(shingles(texts[a])), set(shingles(texts[b]))
+            if not sa or not sb:
+                continue
+            j = jaccard(texts[a], texts[b])
+            if j >= 0.8:
+                inter = len(sa & sb)
+                want.append((a, b, inter, len(sa | sb), j))
+    assert list(map(tuple, got[["a_id", "b_id", "n_inter", "n_union"]]
+                    .itertuples(index=False))) == \
+        [(a, b, i, u) for a, b, i, u, _ in want]
+    assert np.allclose(got["jac"].to_numpy(),
+                       [j for *_, j in want])
+    # the exact-dup cluster and the short-doc twins must be found
+    assert (0, 1) in {(r.a_id, r.b_id) for r in got.itertuples()}
+    assert (5, 6) in {(r.a_id, r.b_id) for r in got.itertuples()}

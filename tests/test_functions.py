@@ -213,16 +213,19 @@ def test_batch_sketching_matches_per_doc(texts):
     for i, t in enumerate(texts):
         th = hash_tokens(t.split())
         want = []
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
         if 0 < len(th) < 3:
             acc = th[0]
             for x in th[1:]:
-                acc = _splitmix(np.array([acc ^ x], dtype=np.uint64))[0]
+                acc = _splitmix((np.array([acc], dtype=np.uint64) * GOLD)
+                                ^ x)[0]
             want = [acc]
         else:
             for s0 in range(len(th) - 2):
                 acc = th[s0]
                 for x in th[s0 + 1:s0 + 3]:
-                    acc = _splitmix(np.array([acc ^ x], dtype=np.uint64))[0]
+                    acc = _splitmix((np.array([acc], dtype=np.uint64) * GOLD)
+                                    ^ x)[0]
                 want.append(acc)
         got = sh[soffs[i]:soffs[i + 1]]
         assert list(got) == [np.uint64(w) for w in want], (i, t)
@@ -253,7 +256,12 @@ def test_jaccard_pairs_hashed_matches_scalar():
         jaccard, jaccard_pairs_hashed)
     docs = ["", " ", "a", "a b", "a b c", "a b c d e f g",
             "  leading and trailing  ", "the quick brown fox jumps",
-            "the quick brown fox leaps", "x " * 50, "x " * 49 + "y"]
+            "the quick brown fox leaps", "x " * 50, "x " * 49 + "y",
+            # permuted-prefix regression: a plain xor fold made the first
+            # two shingle tokens commute ("x y z" ≡ "y x z"), so docs
+            # containing both orders undercounted distinct shingles
+            "data stream data data engine", "stream data data data engine",
+            "a fast vector and fast a vector"]
     pairs_a, pairs_b = [], []
     for a in docs:
         for b in docs:
