@@ -241,3 +241,48 @@ def test_ngram_jaccard_exact_join_brute_force(ray_session, tmp_path):
     # the exact-dup cluster and the short-doc twins must be found
     assert (0, 1) in {(r.a_id, r.b_id) for r in got.itertuples()}
     assert (5, 6) in {(r.a_id, r.b_id) for r in got.itertuples()}
+
+
+def test_minhash_recall_vs_exact_join(ray_session, tmp_path):
+    """Measure MinHash-LSH recall against the EXACT prefix-filter
+    similarity join on a mutation-spectrum corpus: base docs with 0..4
+    token substitutions straddle the 0.8 threshold from both sides. The
+    exact join is ground truth (recall 1 by lemma); every exact pair must
+    co-cluster in q_minhash_dedup's output (theoretical LSH recall at
+    jac=0.8 with 64 perms / 16 bands is 1-(1-0.8^4)^16 ≈ 0.9996, and the
+    pipeline is deterministic, so full recall is a stable assertion on
+    this corpus). Conversely no clustered doc may lack an exact partner
+    (verify threshold == exact threshold ⟹ cluster edges ⊆ exact pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i}" for i in range(500)], dtype=object)
+    texts, n_base, n_tok = [], 30, 40
+    for _ in range(n_base):
+        base = rng.choice(vocab, size=n_tok)
+        texts.append(" ".join(base))
+        for m in (0, 1, 1, 2, 4):           # jac ≈ 1, .85, .85, .73, .55
+            var = base.copy()
+            pos = rng.choice(n_tok, size=m, replace=False)
+            var[pos] = rng.choice(vocab, size=m)
+            texts.append(" ".join(var))
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   tmp_path / "documents.parquet")
+
+    exact = to_pandas(dq.q_ngram_jaccard_dup(str(tmp_path), threshold=0.8))
+    clusters = to_pandas(dq.q_minhash_dedup(str(tmp_path)))
+    label = dict(zip(clusters["doc_id"].astype(int),
+                     clusters["cluster_id"].astype(int)))
+
+    pairs = list(zip(exact["a_id"].astype(int), exact["b_id"].astype(int)))
+    assert len(pairs) >= n_base * 3          # the spectrum actually pairs
+    hit = sum(1 for a, b in pairs
+              if a in label and b in label and label[a] == label[b])
+    recall = hit / len(pairs)
+    assert recall == 1.0, f"LSH recall {recall:.4f} on {len(pairs)} pairs"
+    # soundness: clustered docs all have at least one exact partner
+    in_exact = set(exact["a_id"].astype(int)) | set(exact["b_id"].astype(int))
+    assert set(label) <= in_exact
