@@ -314,3 +314,136 @@ def cosine_near_dup_pairs(sf_dir: str, limit_ids: int = 1000,
         return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
                              "b_id": pd.array([], dtype="int64")})
     return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------- k-means (full)
+def kmeans_head_sample(path: str, n: int) -> np.ndarray:
+    """Bounded deterministic init sample: the first ``n`` rows of the
+    (first) embeddings parquet file, read directly with pyarrow on the
+    driver — O(n·d) memory regardless of corpus size, and independent of
+    Ray's block ordering (``Dataset.limit`` does not guarantee file
+    order under streaming execution)."""
+    import os
+
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        path = os.path.join(path, sorted(os.listdir(path))[0])
+    pf = pq.ParquetFile(path)
+    batches = []
+    got = 0
+    for b in pf.iter_batches(batch_size=min(n, 8192),
+                             columns=["vec_id", "embedding"]):
+        batches.append(b)
+        got += len(b)
+        if got >= n:
+            break
+    t = pa.Table.from_batches(batches).slice(0, n)
+    _, m = _emb_matrix(t)
+    return normalize_rows(m)
+
+
+def kmeans_fit(sf_dir: str, n_clusters: int = 10, n_iter: int = 10,
+               seed: int = 42, batch_size: int = 8192,
+               init_sample: int = 2048,
+               merge_fanout: int = 64) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd's) over the ``embeddings``
+    table: rows are L2-normalized (cosine ≙ dot), centroids re-normalized
+    each round. Unlike :func:`kmeans_lite` (a driver-side fit on a sample,
+    used for IVF coarse quantization), every iteration here is one
+    STREAMING pass over the full corpus:
+
+    - centroids broadcast once per round (``ray.put``, read per task);
+    - each batch emits ONE partial row (per-cluster float64 vector sums +
+      int64 counts — k·d + k values, ~5 KB at k=10,d=64);
+    - one tree-reduce combine level (``merge_fanout`` partials per task)
+      bounds the driver merge at ceil(blocks/fanout) rows — the same
+      shape as the HLL/MG sketch merges (``sketches.hll_distinct``);
+    - the driver update touches only the k×d matrix.
+
+    Determinism: init is a seeded choice from a bounded head sample
+    (:func:`kmeans_head_sample`), and each round's centroids are rounded
+    to 1e-6 before broadcast, which absorbs float-sum ordering differences
+    between merge trees (partial sums agree to ~1e-12; the rounding
+    granularity is 10^6× coarser), so assignments are reproducible and
+    match the single-node twin in tests. Empty clusters keep their
+    previous centroid. Ties in argmax break to the lowest cluster id on
+    both paths (numpy semantics)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    sample = kmeans_head_sample(path, init_sample)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cent = np.round(sample[idx], 6)
+    k, d = cent.shape
+
+    def combine(bt: pa.Table) -> pa.Table:
+        n = np.asarray(bt.column("n").to_pylist(), np.int64).sum(axis=0)
+        s = np.asarray(bt.column("s").to_pylist(), np.float64).sum(axis=0)
+        return pa.table({"n": [n.tolist()], "s": [s.tolist()]})
+
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(bt: pa.Table, _ref=ref) -> pa.Table:
+            _, m = _emb_matrix(bt)
+            m = normalize_rows(m)
+            c = ray.get(_ref)
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, a, m)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({"n": [n.tolist()], "s": [sums.ravel().tolist()]})
+
+        parts = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=batch_size)
+                 .map_batches(combine, batch_format="pyarrow",
+                              batch_size=merge_fanout)
+                 .to_pandas())  # ≤ ceil(blocks/fanout) tiny rows — bounded
+        n = np.asarray(parts["n"].tolist(), np.int64).sum(axis=0)
+        s = np.asarray(parts["s"].tolist(), np.float64).sum(axis=0)
+        new = s.reshape(k, d)
+        nz = n > 0
+        cent = cent.copy()
+        cent[nz] = normalize_rows(new[nz])   # spherical: direction only
+        cent = np.round(cent, 6)
+    return cent
+
+
+def kmeans_assign(sf_dir: str, cent: np.ndarray, batch_size: int = 8192):
+    """Final assignment pass: (vec_id, cluster_id) Dataset — streams, the
+    driver never holds the corpus."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ref = ray.put(cent)
+
+    def assign(bt: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(bt)
+        a = np.argmax(normalize_rows(m) @ ray.get(ref).T, axis=1)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(a.astype(np.int32),
+                                                pa.int32())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def kmeans_reference(mat: np.ndarray, n_clusters: int, n_iter: int,
+                     seed: int, init_sample: int = 2048) -> np.ndarray:
+    """Single-node twin of :func:`kmeans_fit` (tests): same init, same
+    rounding, one flat float64 sum per round. Returns centroids."""
+    m = normalize_rows(np.asarray(mat, np.float64))
+    sample = m[:init_sample]
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)),
+                     replace=False)
+    cent = np.round(sample[idx], 6)
+    for _ in range(n_iter):
+        a = np.argmax(m @ cent.T, axis=1)
+        cent = cent.copy()
+        for c in range(len(cent)):
+            sel = m[a == c]
+            if len(sel):
+                cent[c] = normalize_rows(sel.sum(axis=0)[None, :])[0]
+        cent = np.round(cent, 6)
+    return cent

@@ -708,6 +708,21 @@ COSINE_DUP_THRESHOLD = 0.4  # calibrated to the synthetic embeddings
 # small, meaningful pair set; production near-dup would use 0.9+)
 
 
+def q_embedding_kmeans(sf_dir: str, n_clusters: int = 10,
+                       n_iter: int = 10, seed: int = 42):
+    """Distributed spherical k-means over the embeddings table: n_iter
+    streaming Lloyd's passes (broadcast centroids, per-batch partial
+    sums, tree-reduce combine — ``ann.kmeans_fit``) then one assignment
+    pass. Returns the (vec_id, cluster_id) Dataset — the corpus streams;
+    the driver only ever holds the k×d centroid matrix. Rows-only for the
+    driver (iterative, not SQL-expressible); exactness vs the single-node
+    twin and purity vs the generator's ground-truth labels in pytest."""
+    from ..functions.ann import kmeans_assign, kmeans_fit
+    cent = kmeans_fit(sf_dir, n_clusters=n_clusters, n_iter=n_iter,
+                      seed=seed)
+    return kmeans_assign(sf_dir, cent)
+
+
 def q_cosine_near_dup(sf_dir: str):
     return ann.cosine_near_dup_pairs(sf_dir, limit_ids=1000,
                                      threshold=COSINE_DUP_THRESHOLD)
@@ -773,6 +788,7 @@ DOCS_QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_ivf": q_cosine_near_dup_ivf,
+    "embedding_kmeans": q_embedding_kmeans,
     "binary_meta": q_binary_meta,
 }
 

@@ -286,3 +286,64 @@ def test_minhash_recall_vs_exact_join(ray_session, tmp_path):
     # soundness: clustered docs all have at least one exact partner
     in_exact = set(exact["a_id"].astype(int)) | set(exact["b_id"].astype(int))
     assert set(label) <= in_exact
+
+
+def test_kmeans_distributed_matches_twin(ray_session):
+    """Distributed Lloyd's == single-node twin on the real synth table:
+    same init, same 1e-6 centroid rounding (the rounding absorbs
+    float-sum ordering between merge trees), identical final centroids
+    AND identical per-row assignments. (The synth ``label`` column is
+    NOT cosine-separable — even true-label centroids score purity 0.37
+    here — so cluster quality is asserted on an engineered corpus in
+    ``test_kmeans_recovers_planted_clusters`` instead.)"""
+    import pyarrow.parquet as pq
+    from crawlingathome_server_ray.functions.ann import (
+        kmeans_fit, kmeans_reference, normalize_rows)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.stack(t.column("embedding").to_pandas().to_numpy())
+    k = 10
+
+    cent = kmeans_fit(SF, n_clusters=k, n_iter=10, seed=42)
+    want = kmeans_reference(mat, n_clusters=k, n_iter=10, seed=42)
+    np.testing.assert_array_equal(cent, want)
+
+    got = to_pandas(dq.q_embedding_kmeans(SF, n_clusters=k)) \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(mat)
+    assert (got["vec_id"].to_numpy() == np.sort(np.asarray(
+        t.column("vec_id")))).all()
+    tw = np.argmax(normalize_rows(mat.astype(np.float64)) @ want.T, axis=1)
+    np.testing.assert_array_equal(got["cluster_id"].to_numpy(), tw)
+
+
+def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
+    """On a corpus with k genuinely cosine-separated planted clusters
+    (unit centers ~90° apart, σ=0.15 noise), distributed k-means recovers
+    the planted partition with purity ≥ 0.95."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    k, per, d = 8, 150, 64
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + \
+        0.15 * rng.standard_normal((k * per, d))
+    planted = np.repeat(np.arange(k, dtype=np.int32), per)
+    perm = rng.permutation(k * per)          # shuffle so init sees a mix
+    pts, planted = pts[perm], planted[perm]
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(k * per), pa.int64()),
+                  "embedding": pa.array(
+                      [row.astype(np.float32) for row in pts],
+                      pa.list_(pa.float32())),
+                  "label": pa.array(planted, pa.int32())}),
+        tmp_path / "embeddings.parquet")
+
+    got = to_pandas(dq.q_embedding_kmeans(str(tmp_path), n_clusters=k)) \
+        .sort_values("vec_id").reset_index(drop=True)
+    a = got["cluster_id"].to_numpy()
+    purity = sum(np.bincount(planted[a == c]).max()
+                 for c in np.unique(a)) / len(a)
+    assert purity >= 0.95, purity
