@@ -111,6 +111,72 @@ SELECT doc_id,
 FROM documents"""
 
 
+# ------------------------------------------------------------------ PII
+# One RE2 pattern list drives BOTH engines: Arrow's count/replace_
+# substring_regex and DuckDB's regexp_extract_all/regexp_replace are all
+# RE2 (leftmost, non-overlapping, greedy) — identical match semantics by
+# construction. Applied sequentially (emails first, so an IP-shaped
+# substring inside an already-redacted email domain is not re-counted);
+# counts are taken on the text as it stands BEFORE that pattern's own
+# replacement, mirroring the oracle's CTE chain.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[- .]\d{2,4}[- .]\d{3,4}(?:[- .]\d{2,4})?\b",
+     "<PHONE>"),
+]
+
+
+def q_doc_pii_scrub(sf_dir: str):
+    """PII detection + redaction over documents: per-doc counts of
+    emails / IPv4s / international-format phone numbers, and the
+    fully-redacted text. One vectorized RE2 pass per pattern
+    (``pc.count_substring_regex`` + ``pc.replace_substring_regex``) —
+    no Python-rate loops; embarrassingly parallel, no shuffle. The
+    standard scrubbing stage of a training-data pipeline (synth text
+    carries no PII, so the sf oracle checks the identity path; matching
+    behavior on PII-bearing text is pinned by
+    ``test_pii_scrub_engineered`` against both the oracle and golden
+    expectations)."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        cols = {"doc_id": b.column("doc_id")}
+        for name, pat, repl in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(t, pat) \
+                .cast(pa.int64())
+            t = pc.replace_substring_regex(t, pat, repl)
+        cols["redacted"] = t
+        return pa.table(cols)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow", batch_size=BATCH)
+
+
+def _sql_pii_scrub() -> str:
+    (_, p_email, r_email), (_, p_ip, r_ip), (_, p_phone, r_phone) = \
+        PII_PATTERNS
+    return f"""
+WITH s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{p_email}')) AS BIGINT)
+           AS n_email,
+         regexp_replace(text, '{p_email}', '{r_email}', 'g') AS t
+  FROM documents),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{p_ip}')) AS BIGINT) AS n_ip,
+         regexp_replace(t, '{p_ip}', '{r_ip}', 'g') AS t
+  FROM s1)
+SELECT doc_id, n_email, n_ip,
+       CAST(len(regexp_extract_all(t, '{p_phone}')) AS BIGINT) AS n_phone,
+       regexp_replace(t, '{p_phone}', '{r_phone}', 'g') AS redacted
+FROM s2"""
+
+
 def q_doc_langid(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         langid_batch, batch_format="pyarrow", batch_size=BATCH)
@@ -775,6 +841,7 @@ DOCS_QUERIES = {
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "doc_quality": q_doc_quality,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -797,6 +864,7 @@ DOCS_SQL = {
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": _sql_token_count_bpe(),
     "doc_quality": SQL_DOC_QUALITY,
+    "doc_pii_scrub": _sql_pii_scrub(),
     "doc_langid": SQL_DOC_LANGID,
     "doc_length_quantiles": SQL_DOC_QUANTILES,
     "doc_stratified_sample": SQL_DOC_STRATIFIED,

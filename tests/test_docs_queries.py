@@ -347,3 +347,39 @@ def test_kmeans_recovers_planted_clusters(ray_session, tmp_path):
     purity = sum(np.bincount(planted[a == c]).max()
                  for c in np.unique(a)) / len(a)
     assert purity >= 0.95, purity
+
+
+def test_pii_scrub_engineered(ray_session, tmp_path):
+    """PII scrub on a PII-bearing corpus: Ray output == DuckDB oracle on
+    the same parquet (both engines are RE2 — semantics identical by
+    construction, this pins it), plus golden redactions."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "contact me at john.doe+spam@example.co.uk or 192.168.0.1",
+        "call +1-555-867-5309 now; server 10.0.0.255, alt +44 20 7946 0958",
+        "two mails a@b.io c.d@e.org and ip 8.8.8.8 inside one doc",
+        "no pii here at all",
+        "edge a@b.io. trailing dot. bad ip 999.999.1.1 phone +7 123 4567",
+        "",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(dq.DOCS_SQL["doc_pii_scrub"]).df()
+    assert_frames_match(dq.q_doc_pii_scrub(str(tmp_path)), oracle,
+                        "doc_pii_scrub_engineered")
+    got = to_pandas(dq.q_doc_pii_scrub(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "redacted"] == "contact me at <EMAIL> or <IP>"
+    assert got.loc[1, "n_phone"] == 2 and got.loc[1, "n_ip"] == 1
+    assert got.loc[2, "n_email"] == 2
+    assert got.loc[3, "redacted"] == texts[3]
+    assert (got[["n_email", "n_ip", "n_phone"]].to_numpy().sum(axis=1)
+            >= np.array([2, 3, 3, 0, 3, 0])).all()
