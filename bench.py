@@ -85,10 +85,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("doc_dedup_exact", lambda: consume(dq.q_doc_dedup_exact(sf_dir)))
     timed("minhash_dedup", lambda: consume(dq.q_minhash_dedup(sf_dir)))
     timed("simhash_pairs", lambda: consume(dq.q_simhash_pairs(sf_dir)))
+    timed("ngram_jaccard_dup", lambda: consume(dq.q_ngram_jaccard_dup(sf_dir)))
+    timed("doc_pii_scrub", lambda: consume(dq.q_doc_pii_scrub(sf_dir)))
     timed("top_bigrams", lambda: consume(dq.q_top_bigrams(sf_dir)))
     timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
     timed("cosine_near_dup_ivf",
           lambda: consume(dq.q_cosine_near_dup_ivf(sf_dir)))
+    timed("embedding_kmeans", lambda: consume(dq.q_embedding_kmeans(sf_dir)))
     from crawlingathome_server_ray.pipelines import curation_queries as cu
     timed("tfidf_top_terms", lambda: consume(cu.q_tfidf_top_terms(sf_dir)))
     timed("doc_decontaminate",
