@@ -34,7 +34,7 @@ def ensure_corpus(n_docs: int) -> str:
     i-17 (first 90% of its tokens) so near-dup/repeated-gram operators
     have real signal. Single seeded pass, cached with a done-marker."""
     out = f"{ROOT}/{n_docs}"
-    marker = f"{out}/_DONE_v1"
+    marker = f"{out}/_DONE_v2"
     if os.path.exists(marker):
         return out
     import shutil
@@ -71,6 +71,22 @@ def ensure_corpus(n_docs: int) -> str:
             "n_chars": pa.array(n_chars[lo:hi]),
         })
         pq.write_table(t, f"{out}/documents.parquet/part-{f:03d}.parquet")
+    # embeddings twin table (for the k-means / ANN scale measurements):
+    # 64-dim float32 around 16 planted unit centers, one row per doc
+    k, d = 16, 64
+    centers = rng.standard_normal((k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, k, size=n_docs)
+    os.makedirs(f"{out}/embeddings.parquet", exist_ok=True)
+    for f in range(N_FILES):
+        lo, hi = f * per, min((f + 1) * per, n_docs)
+        pts = (centers[lab[lo:hi]]
+               + 0.3 * rng.standard_normal((hi - lo, d))).astype(np.float32)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+            "embedding": pa.array(list(pts), pa.list_(pa.float32())),
+            "label": pa.array(lab[lo:hi].astype(np.int32)),
+        }), f"{out}/embeddings.parquet/part-{f:03d}.parquet")
     open(marker, "w").write("ok")
     return out
 
@@ -121,6 +137,10 @@ def main() -> None:
     timed("doc_dedup_exact", lambda: dq.q_doc_dedup_exact(sf_dir))
     timed("minhash_dedup", lambda: dq.q_minhash_dedup(sf_dir))
     timed("simhash_pairs", lambda: dq.q_simhash_pairs(sf_dir))
+    timed("ngram_jaccard_dup", lambda: dq.q_ngram_jaccard_dup(sf_dir))
+    timed("doc_pii_scrub", lambda: dq.q_doc_pii_scrub(sf_dir))
+    timed("embedding_kmeans", lambda: dq.q_embedding_kmeans(
+        sf_dir, n_clusters=16))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)
