@@ -380,7 +380,9 @@ def kmeans_fit(sf_dir: str, n_clusters: int = 10, n_iter: int = 10,
     def combine(bt: pa.Table) -> pa.Table:
         n = np.asarray(bt.column("n").to_pylist(), np.int64).sum(axis=0)
         s = np.asarray(bt.column("s").to_pylist(), np.float64).sum(axis=0)
-        return pa.table({"n": [n.tolist()], "s": [s.tolist()]})
+        return pa.table({"n": pa.array([n.tolist()], pa.list_(pa.int64())),
+                         "s": pa.array([s.tolist()],
+                                       pa.list_(pa.float64()))})
 
     for _ in range(n_iter):
         ref = ray.put(cent)
@@ -393,7 +395,9 @@ def kmeans_fit(sf_dir: str, n_clusters: int = 10, n_iter: int = 10,
             sums = np.zeros((k, d), np.float64)
             np.add.at(sums, a, m)
             n = np.bincount(a, minlength=k).astype(np.int64)
-            return pa.table({"n": [n.tolist()], "s": [sums.ravel().tolist()]})
+            return pa.table(
+                {"n": pa.array([n.tolist()], pa.list_(pa.int64())),
+                 "s": pa.array([sums.ravel().tolist()], pa.list_(pa.float64()))})
 
         parts = (ds.map_batches(partial, batch_format="pyarrow",
                                 batch_size=batch_size)

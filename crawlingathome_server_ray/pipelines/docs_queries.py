@@ -111,6 +111,53 @@ SELECT doc_id,
 FROM documents"""
 
 
+# ---------------------------------------------------------- normalization
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (the pre-dedup cleanup stage): NFC
+    unicode normalize → lowercase → collapse runs of whitespace to one
+    space → trim. Lower/collapse/trim are single vectorized Arrow
+    kernels with exact DuckDB twins (``lower`` parity probed on Turkish
+    İ, final sigma, ligatures, fullwidth forms). NFC can NOT use Arrow's
+    ``utf8_normalize`` — pyarrow 16's kernel emits DECOMPOSED output for
+    every form incl. NFC (verified: composed é → e+U+0301) — so rows are
+    split by a vectorized non-ASCII scan (``[^\\x00-\\x7F]`` RE2 match):
+    ASCII rows are NFC-invariant and skip straight through; only the
+    non-ASCII minority (a few % of web text) pays a per-row
+    ``unicodedata.normalize`` (a single C call, matching DuckDB's
+    ``nfc_normalize`` — parity pinned in ``test_normalize_engineered``).
+    Emits ``changed`` so a downstream filter can skip rewriting
+    untouched rows."""
+    import unicodedata
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+        idx = np.nonzero(np.asarray(non_ascii))[0]
+        if len(idx):
+            arr = np.asarray(t, dtype=object)
+            for i in idx:
+                arr[i] = unicodedata.normalize("NFC", arr[i])
+            t = pa.array(arr, pa.string())
+        out = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t), r"\s+", " "))
+        return pa.table({"doc_id": b.column("doc_id"), "norm_text": out,
+                         "changed": pc.not_equal(out, b.column("text"))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_DOC_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS norm_text,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         <> text AS changed
+FROM documents"""
+
+
 # ------------------------------------------------------------------ PII
 # One RE2 pattern list drives BOTH engines: Arrow's count/replace_
 # substring_regex and DuckDB's regexp_extract_all/regexp_replace are all
@@ -842,6 +889,7 @@ DOCS_QUERIES = {
     "token_count_bpe": q_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_normalize": q_doc_normalize,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_length_quantiles": q_doc_length_quantiles,
@@ -865,6 +913,7 @@ DOCS_SQL = {
     "token_count_bpe": _sql_token_count_bpe(),
     "doc_quality": SQL_DOC_QUALITY,
     "doc_pii_scrub": _sql_pii_scrub(),
+    "doc_normalize": SQL_DOC_NORMALIZE,
     "doc_langid": SQL_DOC_LANGID,
     "doc_length_quantiles": SQL_DOC_QUANTILES,
     "doc_stratified_sample": SQL_DOC_STRATIFIED,

@@ -383,3 +383,32 @@ def test_pii_scrub_engineered(ray_session, tmp_path):
     assert got.loc[3, "redacted"] == texts[3]
     assert (got[["n_email", "n_ip", "n_phone"]].to_numpy().sum(axis=1)
             >= np.array([2, 3, 3, 0, 3, 0])).all()
+
+
+def test_normalize_engineered(ray_session, tmp_path):
+    """Normalization parity on composed/decomposed accents, ligatures and
+    mixed whitespace: Ray == DuckDB oracle on the same parquet, plus
+    golden expectations (NFC folds e+combining-acute into é; NFC does
+    NOT expand ligatures — that would be NFKC)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["Cafe\u0301", "Caf\u00e9", "  A  B\tC\n", "STRASSE ß",
+             "ﬁ ligature", "", "already clean"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(dq.DOCS_SQL["doc_normalize"]).df()
+    assert_frames_match(dq.q_doc_normalize(str(tmp_path)), oracle,
+                        "doc_normalize_engineered")
+    got = to_pandas(dq.q_doc_normalize(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "norm_text"] == got.loc[1, "norm_text"] == "caf\u00e9"
+    assert got.loc[2, "norm_text"] == "a b c"
+    assert got.loc[4, "norm_text"] == "ﬁ ligature"
+    assert not got.loc[6, "changed"]
