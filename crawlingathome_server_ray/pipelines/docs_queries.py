@@ -656,6 +656,98 @@ WHERE rn = 1
       IN ('0','1','2','3','4','5','6','7')"""
 
 
+def q_docs_scrub_pipeline(sf_dir: str, n_buckets: int = 64):
+    """The OTHER composite a training-data user runs end to end: text
+    normalization (NFC/lower/collapse/trim — ``q_doc_normalize``'s
+    kernel) → PII redaction (``PII_PATTERNS``, sequential) → quality
+    gates on the SCRUBBED text (char/token floors) → exact first-wins
+    dedup by scrubbed content (bucketed one-shuffle, min doc_id wins).
+    Output (doc_id, n_tokens, n_pii). Every step is SQL-expressible, so
+    the whole chain verifies against one DuckDB oracle — normalization
+    dedups case/whitespace/unicode-form variants that raw-text dedup
+    (``q_docs_curated``) cannot see. Same scale shape as the curated
+    chain: one streaming map + one slim bucketed shuffle (doc_id, md5,
+    counts — the texts never shuffle)."""
+    import unicodedata
+
+    from ..functions.text import nonempty_token_counts
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        # normalize (ASCII fast path, see q_doc_normalize)
+        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+        idx = np.nonzero(np.asarray(non_ascii))[0]
+        if len(idx):
+            arr = np.asarray(t, dtype=object)
+            for i in idx:
+                arr[i] = unicodedata.normalize("NFC", arr[i])
+            t = pa.array(arr, pa.string())
+        t = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(t), r"\s+", " "))
+        # scrub
+        n_pii = pa.nulls(len(t), pa.int64()).fill_null(0)
+        for _, pat, repl in PII_PATTERNS:
+            n_pii = pc.add(n_pii, pc.count_substring_regex(t, pat)
+                           .cast(pa.int64()))
+            t = pc.replace_substring_regex(t, pat, repl)
+        # gates on the scrubbed text
+        n_chars = pc.utf8_length(t).cast(pa.int64())
+        n_tokens = nonempty_token_counts(t)
+        keep = pc.and_(pc.greater_equal(n_chars, CURATE_MIN_CHARS),
+                       pc.greater_equal(n_tokens, CURATE_MIN_TOKENS))
+        out = pa.table({"doc_id": b.column("doc_id"),
+                        "text_h": md5_hex(t),
+                        "n_tokens": n_tokens, "n_pii": n_pii}).filter(keep)
+        hh = pd.util.hash_array(np.asarray(out.column("text_h")))
+        return out.append_column(
+            "bucket", pa.array((hh % n_buckets).astype(np.int32), pa.int32()))
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_h", "doc_id"], kind="mergesort")
+        return g[~g["text_h"].duplicated()].drop(columns=["bucket", "text_h"])
+
+    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
+            .groupby("bucket").map_groups(first_wins, batch_format="pandas"))
+
+
+def _sql_scrub_pipeline() -> str:
+    (_, p_email, r_email), (_, p_ip, r_ip), (_, p_phone, r_phone) = \
+        PII_PATTERNS
+    norm = (r"trim(regexp_replace(lower(nfc_normalize(text)), "
+            r"'\s+', ' ', 'g'))")
+    return f"""
+WITH n AS (
+  SELECT doc_id, {norm} AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{p_email}')) AS BIGINT) AS c1,
+         regexp_replace(t, '{p_email}', '{r_email}', 'g') AS t FROM n),
+s2 AS (
+  SELECT doc_id, c1,
+         CAST(len(regexp_extract_all(t, '{p_ip}')) AS BIGINT) AS c2,
+         regexp_replace(t, '{p_ip}', '{r_ip}', 'g') AS t FROM s1),
+s3 AS (
+  SELECT doc_id, c1 + c2 +
+         CAST(len(regexp_extract_all(t, '{p_phone}')) AS BIGINT) AS n_pii,
+         regexp_replace(t, '{p_phone}', '{r_phone}', 'g') AS t FROM s2),
+g AS (
+  SELECT doc_id, n_pii, t,
+         CASE WHEN t = '' THEN 0
+              ELSE len(string_split(t, ' ')) END AS n_tokens
+  FROM s3
+  WHERE length(t) >= {CURATE_MIN_CHARS}
+    AND (CASE WHEN t = '' THEN 0
+              ELSE len(string_split(t, ' ')) END) >= {CURATE_MIN_TOKENS}),
+d AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_pii,
+         row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM g)
+SELECT doc_id, n_tokens, n_pii FROM d WHERE rn = 1"""
+
+
 # ---------------------------------------------------------------- corpus stats
 QUANTILES = (0.5, 0.9, 0.99)
 
@@ -895,6 +987,7 @@ DOCS_QUERIES = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
     "docs_curated": q_docs_curated,
+    "docs_scrub_pipeline": q_docs_scrub_pipeline,
     "top_bigrams": q_top_bigrams,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "minhash_dedup": q_minhash_dedup,
@@ -918,6 +1011,7 @@ DOCS_SQL = {
     "doc_length_quantiles": SQL_DOC_QUANTILES,
     "doc_stratified_sample": SQL_DOC_STRATIFIED,
     "docs_curated": SQL_DOCS_CURATED,
+    "docs_scrub_pipeline": _sql_scrub_pipeline(),
     "top_bigrams": SQL_TOP_BIGRAMS,
     "ngram_jaccard_dup": _sql_ngram_jaccard(),
     "ann_topk": SQL_ANN_TOPK,

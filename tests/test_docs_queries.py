@@ -412,3 +412,45 @@ def test_normalize_engineered(ray_session, tmp_path):
     assert got.loc[2, "norm_text"] == "a b c"
     assert got.loc[4, "norm_text"] == "ﬁ ligature"
     assert not got.loc[6, "changed"]
+
+
+def test_scrub_pipeline_dedups_normalized_variants(ray_session, tmp_path):
+    """The normalize→scrub→gate→dedup composite: case / whitespace /
+    unicode-form variants of one doc (which raw-text dedup would treat as
+    distinct) collapse to the min-doc_id survivor; PII is counted on the
+    normalized text; sub-gate docs drop. Ray == DuckDB whole-chain
+    oracle on the same parquet."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the deep green forest tonight again " * 2)
+    assert len(base) >= 100 and len(base.split()) >= 20
+    texts = [
+        base,                                   # 0: survivor
+        base.upper(),                           # 1: case variant
+        "  " + base.replace(" ", "   ") + "\n",  # 2: whitespace variant
+        base.replace("e", "é"),           # 3: NOT a variant (accents)
+        base + " mail me at Bob@Example.COM ok",  # 4: PII, unique
+        "short doc",                            # 5: under gates
+        base.replace("é", "é"),      # 6: same as 3 pre-NFC? no-op
+    ]
+    # 6 is literally base (replace of absent substring) → dup of 0
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    oracle = con.execute(dq.DOCS_SQL["docs_scrub_pipeline"]).df()
+    assert_frames_match(dq.q_docs_scrub_pipeline(str(tmp_path)), oracle,
+                        "docs_scrub_pipeline_engineered")
+    got = to_pandas(dq.q_docs_scrub_pipeline(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    kept = set(got["doc_id"].astype(int))
+    assert 0 in kept and {1, 2, 6} & kept == set()   # variants collapsed
+    assert 3 in kept and 4 in kept and 5 not in kept
+    assert int(got.set_index(got["doc_id"].astype(int))
+               .loc[4, "n_pii"]) == 1
