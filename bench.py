@@ -96,6 +96,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("tfidf_top_terms", lambda: consume(cu.q_tfidf_top_terms(sf_dir)))
     timed("doc_decontaminate",
           lambda: consume(cu.q_doc_decontaminate(sf_dir)))
+    timed("doc_lm_score", lambda: consume(cu.q_doc_lm_score(sf_dir)))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)

@@ -191,3 +191,54 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
                              fingerprint_many(
                                  batch["text"].to_numpy(dtype=object)),
                              dtype="uint64")})
+
+
+# ------------------------------------------------ char-trigram LM scoring
+LM_BUCKETS = 1 << 18
+
+
+def char_trigram_buckets(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat hashed-trigram bucket ids, int64 offsets[n+1]) for a whole
+    batch, vectorized: docs are joined with a 2-NUL separator and decoded
+    ONCE to a uint32 codepoint array (``utf-32-le`` + frombuffer — no
+    per-char Python), trigram hashes are a position-sensitive splitmix
+    fold over three shifted views, bucket = hash mod 2^18. Windows
+    touching a separator are masked out, so no trigram crosses a doc
+    boundary; docs shorter than 3 chars contribute none. (Real NUL chars
+    in a doc would shed that doc's adjacent trigrams — acceptable for a
+    quality score; synth/web text has none.)"""
+    from .dedup import _GOLD, _splitmix
+    arr = np.asarray(texts, dtype=object)
+    n = len(arr)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    if n == 0:
+        return np.zeros(0, np.int64), offs
+    joined = "\x00\x00".join(arr.tolist())
+    u = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in arr.tolist()), count=n,
+                       dtype=np.int64)
+    tri_counts = np.maximum(lens - 2, 0)
+    np.cumsum(tri_counts, out=offs[1:])
+    if len(u) < 3:
+        return np.zeros(0, np.int64), offs
+    c0 = u[:-2].astype(np.uint64)
+    c1 = u[1:-1].astype(np.uint64)
+    c2 = u[2:].astype(np.uint64)
+    h = _splitmix((_splitmix((c0 * _GOLD) ^ c1) * _GOLD) ^ c2)
+    valid = (u[:-2] != 0) & (u[1:-1] != 0) & (u[2:] != 0)
+    b = (h[valid] % np.uint64(LM_BUCKETS)).astype(np.int64)
+    assert len(b) == offs[-1]
+    return b, offs
+
+
+def segment_sums(values: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-segment sums with each segment accumulated INDEPENDENTLY
+    left-to-right (``np.add.reduceat`` over non-empty starts), so the
+    result is bit-identical at any batching — unlike a cumsum-diff,
+    whose prefix rounding leaks across segments."""
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.float64)
+    nonempty = np.diff(offs) > 0
+    if nonempty.any():
+        out[nonempty] = np.add.reduceat(values, offs[:-1][nonempty])
+    return out

@@ -502,6 +502,66 @@ WITH keyed AS (
 SELECT doc_id FROM keyed ORDER BY e, doc_id LIMIT {WSAMPLE_K}"""
 
 
+# -------------------------------------------------- char-trigram LM score
+def q_doc_lm_score(sf_dir: str):
+    """CCNet-style LM quality score, two distributed passes:
+
+    1. **model build** — per-batch hashed-char-trigram counts
+       (``char_trigram_buckets``: one utf-32 decode + splitmix fold per
+       batch, 2^18 buckets) emitted as SPARSE (bucket, n) rows → one
+       pandas-groupby combine level → driver final sum into the dense
+       2 MB count table. Driver work is bounded by 2^18 rows per combine
+       output regardless of corpus size.
+    2. **score** — Laplace-smoothed log2 probabilities broadcast once
+       (``ray.put``, 2 MB float64); each batch scores its docs with one
+       table lookup + ``segment_sums`` (per-doc independent reduceat, so
+       results are bit-identical at any batching — the single-node twin
+       test asserts exact equality).
+
+    Output (doc_id, n_trigrams, bits_per_trigram): lower = more like the
+    corpus; gibberish scores high (pinned in tests). Rows-only for the
+    driver (a trained-model score has no SQL twin)."""
+    from ..functions.text import (LM_BUCKETS, char_trigram_buckets,
+                                  segment_sums)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, _ = char_trigram_buckets(
+            np.asarray(b.column("text"), dtype=object))
+        cnt = np.bincount(h, minlength=LM_BUCKETS)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("b", sort=False, as_index=False)["n"].sum()
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=BATCH)
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=1 << 20)
+             .to_pandas())  # ≤ 2^18 rows per combine output — bounded
+    counts = np.zeros(LM_BUCKETS, dtype=np.int64)
+    np.add.at(counts, parts["b"].to_numpy(np.int64),
+              parts["n"].to_numpy(np.int64))
+    total = int(counts.sum())
+    logp = np.log2((counts + 1.0) / (total + LM_BUCKETS))
+    ref = ray.put(logp)
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = np.asarray(b.column("text"), dtype=object)
+        h, offs = char_trigram_buckets(texts)
+        lp = ray.get(ref)
+        s = segment_sums(lp[h], offs)
+        t = np.diff(offs)
+        bits = np.where(t > 0, -s / np.maximum(t, 1), 0.0)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_trigrams": pa.array(t, pa.int64()),
+                         "bits_per_trigram": pa.array(bits, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
+
+
 CURATION_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
@@ -509,6 +569,7 @@ CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_repeated_ngrams": q_doc_repeated_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "doc_lm_score": q_doc_lm_score,
 }
 
 CURATION_SQL = {

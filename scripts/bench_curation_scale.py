@@ -139,6 +139,7 @@ def main() -> None:
     timed("simhash_pairs", lambda: dq.q_simhash_pairs(sf_dir))
     timed("ngram_jaccard_dup", lambda: dq.q_ngram_jaccard_dup(sf_dir))
     timed("doc_pii_scrub", lambda: dq.q_doc_pii_scrub(sf_dir))
+    timed("doc_lm_score", lambda: cq.q_doc_lm_score(sf_dir))
     timed("embedding_kmeans", lambda: dq.q_embedding_kmeans(
         sf_dir, n_clusters=16))
 

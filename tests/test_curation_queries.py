@@ -79,3 +79,54 @@ def test_bm25_no_hits_returns_empty_typed_frame(ray_session):
     out = to_pandas(cq.q_bm25_topk(SF, query_terms=("zzz_nope",)))
     assert list(out.columns) == ["doc_id", "dl", "tf_zzz_nope"]
     assert len(out) == 0
+
+
+def test_lm_score_matches_single_node_twin(ray_session):
+    """Distributed two-pass LM score == a single-node twin built from the
+    same kernels, bit-exact: integer trigram counts are order-invariant,
+    and per-doc log-prob sums use independent reduceat segments, so
+    batching cannot perturb the floats."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from crawlingathome_server_ray.functions.text import (
+        LM_BUCKETS, char_trigram_buckets, segment_sums)
+
+    got = to_pandas(cq.q_doc_lm_score(SF)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).sort_by("doc_id")
+    texts = np.asarray(t.column("text"), dtype=object)
+    h, offs = char_trigram_buckets(texts)
+    counts = np.bincount(h, minlength=LM_BUCKETS).astype(np.int64)
+    logp = np.log2((counts + 1.0) / (int(counts.sum()) + LM_BUCKETS))
+    s = segment_sums(logp[h], offs)
+    nt = np.diff(offs)
+    bits = np.where(nt > 0, -s / np.maximum(nt, 1), 0.0)
+    assert (got["doc_id"].to_numpy() ==
+            np.asarray(t.column("doc_id"))).all()
+    assert (got["n_trigrams"].to_numpy() == nt).all()
+    np.testing.assert_array_equal(got["bits_per_trigram"].to_numpy(), bits)
+
+
+def test_lm_score_flags_gibberish(ray_session, tmp_path):
+    """A model trained on repetitive natural-ish text scores an
+    out-of-distribution gibberish doc strictly worse (higher bits) than
+    every in-distribution doc."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    vocab = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "runs", "fast", "table", "row", "data", "query"]
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in range(50)]
+    gib = "".join(rng.choice(list("zqxjkvw@#%&*"), size=300))
+    texts.append(gib)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = to_pandas(cq.q_doc_lm_score(str(tmp_path))) \
+        .sort_values("doc_id").reset_index(drop=True)
+    bits = got["bits_per_trigram"].to_numpy()
+    assert bits[-1] > bits[:-1].max() + 1.0
