@@ -357,3 +357,33 @@ def test_distributed_components_long_chain_converges(ray_session):
         got_ds = distributed_components(df, max_iter=8)
     got = {int(r["node"]): int(r["label"]) for r in got_ds.take_all()}
     assert got == want
+
+
+_uni_texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+            max_size=40),
+    min_size=0, max_size=10)
+
+
+@given(_uni_texts)
+@settings(max_examples=60, deadline=None)
+def test_char_trigram_buckets_matches_scalar(texts):
+    """Whole-batch trigram hashing (one utf-32 decode + shifted-view
+    splitmix fold) == per-doc scalar twin: same bucket sequence per doc,
+    no trigram leaks across the NUL separators, short docs contribute
+    none."""
+    from crawlingathome_server_ray.functions.dedup import _GOLD, _splitmix
+    from crawlingathome_server_ray.functions.text import (LM_BUCKETS,
+                                                          char_trigram_buckets)
+
+    b, offs = char_trigram_buckets(texts)
+    assert len(offs) == len(texts) + 1
+    for i, t in enumerate(texts):
+        got = b[offs[i]:offs[i + 1]]
+        want = []
+        for j in range(max(len(t) - 2, 0)):
+            c0, c1, c2 = (np.uint64(ord(c)) for c in t[j:j + 3])
+            h = _splitmix(
+                (_splitmix((np.array([c0]) * _GOLD) ^ c1) * _GOLD) ^ c2)[0]
+            want.append(int(h % np.uint64(LM_BUCKETS)))
+        assert got.tolist() == want
