@@ -33,6 +33,7 @@ from crawlingathome_server_ray.pipelines.docs_queries import (DOCS_QUERIES,
                                                               DOCS_SQL,
                                                               sql_binary_meta)
 from crawlingathome_server_ray.pipelines.frontier_core import pages_path
+from crawlingathome_server_ray.pipelines.media_queries import MEDIA_QUERIES
 from crawlingathome_server_ray.pipelines.oracle import frontier_oracle_sql
 from crawlingathome_server_ray.sources.synth import ensure_frontier
 
@@ -73,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(ANALYTICS_QUERIES)
     out.update(DOCS_QUERIES)
     out.update(CURATION_QUERIES)
+    # rows-only: real BMP/WAV decode — DuckDB cannot parse these formats;
+    # round-trip + golden coverage in tests/test_media.py
+    out.update(MEDIA_QUERIES)
     out["url_sample"] = q_url_sample
     return out
 

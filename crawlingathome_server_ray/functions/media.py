@@ -1,0 +1,189 @@
+"""Real multimodal codecs and feature kernels, pure numpy.
+
+The container has no image/audio libraries, but two real, widely-used
+formats are decodable with numpy alone: **BMP** (Windows bitmap,
+24-bit uncompressed BI_RGB — the baseline format every image tool
+emits) and **WAV** (RIFF PCM16 — the baseline audio format). This
+module implements honest encoders/decoders for both plus vectorized
+feature kernels, so the multimodal stages in ``stages/multimodal.py``
+produce REAL features for these formats; only genuinely compressed
+formats (JPEG/PNG/MP3/…) remain declared stubs.
+
+Decoders parse the actual on-disk format (magic, header fields, row
+padding, chunk walk) and reject what they can't handle loudly — they
+are not toy readers of a private layout. Round-trip equality is
+property-tested in tests/test_media.py.
+
+Reference analog: none — the reference coordinator never touches
+payload bytes (media ran on GPU workers, reference README.md:5-11);
+this is a north-rule training-data-pipeline capability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FEATURE_DIM = 16  # shared by image and audio features (CLIP-ish shape)
+
+
+# --------------------------------------------------------------------- BMP
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 RGB")
+    h, w, _ = pixels.shape
+    row_stride = (w * 3 + 3) & ~3
+    img_size = row_stride * h
+    header = np.zeros(54, np.uint8)
+    header[0:2] = [0x42, 0x4D]                                   # 'BM'
+    header[2:6] = np.frombuffer(np.uint32(54 + img_size).tobytes(), np.uint8)
+    header[10:14] = np.frombuffer(np.uint32(54).tobytes(), np.uint8)
+    header[14:18] = np.frombuffer(np.uint32(40).tobytes(), np.uint8)
+    header[18:22] = np.frombuffer(np.int32(w).tobytes(), np.uint8)
+    header[22:26] = np.frombuffer(np.int32(h).tobytes(), np.uint8)  # bottom-up
+    header[26:28] = np.frombuffer(np.uint16(1).tobytes(), np.uint8)
+    header[28:30] = np.frombuffer(np.uint16(24).tobytes(), np.uint8)
+    header[34:38] = np.frombuffer(np.uint32(img_size).tobytes(), np.uint8)
+    rows = np.zeros((h, row_stride), np.uint8)
+    rows[:, :w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)    # BGR, bottom-up
+    return header.tobytes() + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array.
+    Handles both bottom-up (positive height) and top-down (negative)
+    layouts and the spec's 4-byte row padding; rejects other bit depths
+    and compressed variants explicitly."""
+    buf = np.frombuffer(payload, np.uint8)
+    if len(buf) < 54 or buf[0] != 0x42 or buf[1] != 0x4D:
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = int(buf[10:14].view(np.uint32)[0])
+    w = int(buf[18:22].view(np.int32)[0])
+    h_raw = int(buf[22:26].view(np.int32)[0])
+    bpp = int(buf[28:30].view(np.uint16)[0])
+    compression = int(buf[30:34].view(np.uint32)[0])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (got bpp={bpp}, "
+            f"compression={compression})")
+    h = abs(h_raw)
+    row_stride = (w * 3 + 3) & ~3
+    if offset + row_stride * h > len(buf):
+        raise ValueError("truncated BMP payload")
+    rows = buf[offset:offset + row_stride * h].reshape(h, row_stride)
+    img = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]           # BGR → RGB
+    return img[::-1] if h_raw > 0 else img                       # bottom-up
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """16-dim image descriptor: 4×4 mean-pooled grayscale thumbnail in
+    [0, 1] — integral-image pooling so any (h, w) divides cleanly."""
+    gray = pixels.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                np.float32)
+    h, w = gray.shape
+    # integral image → exact mean over arbitrary (possibly uneven) cells
+    ii = np.zeros((h + 1, w + 1), np.float64)
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = np.linspace(0, h, 5).astype(np.int64)
+    xs = np.linspace(0, w, 5).astype(np.int64)
+    sums = (ii[ys[1:], :][:, xs[1:]] - ii[ys[:-1], :][:, xs[1:]]
+            - ii[ys[1:], :][:, xs[:-1]] + ii[ys[:-1], :][:, xs[:-1]])
+    areas = np.outer(ys[1:] - ys[:-1], xs[1:] - xs[:-1])
+    return (sums / np.maximum(areas, 1) / 255.0).astype(np.float32).ravel()
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 image — index-take
+    only, the standard thumbnail kernel when no resampling lib exists."""
+    h, w = pixels.shape[:2]
+    yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.int64)
+    xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.int64)
+    return pixels[yi][:, xi]
+
+
+# --------------------------------------------------------------------- WAV
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode an int16 mono sample array as a RIFF/WAVE PCM16 file."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    data = samples.tobytes()
+    n = len(data)
+
+    def u32(x): return np.uint32(x).tobytes()
+    def u16(x): return np.uint16(x).tobytes()
+
+    return (b"RIFF" + u32(36 + n) + b"WAVE"
+            + b"fmt " + u32(16) + u16(1) + u16(1) + u32(rate)
+            + u32(rate * 2) + u16(2) + u16(16)
+            + b"data" + u32(n) + data)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE PCM16 mono payload → (rate, int16 samples).
+    Walks the chunk list properly (fmt/data may be in any order, with
+    vendor chunks between); rejects non-PCM and multi-channel loudly."""
+    buf = np.frombuffer(payload, np.uint8)
+    if len(buf) < 44 or bytes(buf[0:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = bytes(buf[pos:pos + 4])
+        size = int(buf[pos + 4:pos + 8].view(np.uint32)[0])
+        body = buf[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int(body[0:2].view(np.uint16)[0])
+            channels = int(body[2:4].view(np.uint16)[0])
+            bits = int(body[14:16].view(np.uint16)[0])
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 mono supported (fmt={fmt}, "
+                    f"channels={channels}, bits={bits})")
+            rate = int(body[4:8].view(np.uint32)[0])
+        elif cid == b"data":
+            samples = body[:size - size % 2].view(np.int16)
+        pos += 8 + size + (size & 1)                             # chunks pad to even
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, samples.copy()
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """16-dim audio descriptor: log-energy in 16 linear frequency bands
+    of the one-sided power spectrum (numpy rFFT)."""
+    x = samples.astype(np.float64) / 32768.0
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    edges = np.linspace(0, len(spec), FEATURE_DIM + 1).astype(np.int64)
+    energy = np.add.reduceat(spec, edges[:-1])
+    # reduceat on an empty segment returns the element at the index; zero
+    # those explicitly (happens only for absurdly short clips)
+    energy[edges[:-1] == edges[1:]] = 0.0
+    return np.log1p(energy / max(len(x), 1)).astype(np.float32)
+
+
+def audio_stats(rate: int, samples: np.ndarray) -> tuple[float, float, float]:
+    """(duration_s, rms, dominant_freq_hz) — the classic scalar triple."""
+    x = samples.astype(np.float64) / 32768.0
+    dur = len(x) / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    if len(x) >= 4:
+        spec = np.abs(np.fft.rfft(x))
+        spec[0] = 0.0                                            # ignore DC
+        dom = float(np.argmax(spec) * rate / len(x))
+    else:
+        dom = 0.0
+    return dur, rms, dom
+
+
+# -------------------------------------------------------------------- sniff
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte format sniffing (the real thing, not an extension map)."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"

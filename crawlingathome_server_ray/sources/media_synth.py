@@ -1,0 +1,104 @@
+"""Deterministic synthetic media table: real BMP images and WAV audio
+clips as opaque ``binary`` payloads with typed metadata.
+
+Schema: (media_id: int64, kind: string 'image'|'audio', payload: binary)
+— the multimodal-column shape from the brief. Payloads are REAL encoded
+files (see functions/media.py), so the decode / feature-extract stages
+exercise honest format parsing, not a hash-based fake.
+
+Cached under ``/tmp/graft_media/<sf>/`` with the same atomic
+build-then-rename protocol as sources/synth.ensure_frontier. Row count
+scales with the frontier's page count; payloads are a few KB each so
+even the sfscale table stays object-store-friendly with small
+batch sizes (see stages/multimodal.py sizing note).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.media import encode_bmp, encode_wav
+from .synth import SF_SHAPE, sf_name
+
+_MARKER = "_DONE_v1"
+
+
+def media_rows_for(sf_dir: str) -> int:
+    n_pages, _ = SF_SHAPE[sf_name(sf_dir)]
+    return max(500, min(6000, n_pages // 100))
+
+
+def _make_image(rng: np.random.Generator) -> bytes:
+    w = int(rng.integers(8, 49))
+    h = int(rng.integers(8, 49))
+    # deterministic structure (two-axis gradient) + seeded texture noise,
+    # distinct per channel so channel means differ measurably
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+    img = np.stack([base,
+                    (base + rng.integers(0, 64)) % 256,
+                    rng.integers(0, 256, size=(h, w))], axis=2)
+    return encode_bmp(img.astype(np.uint8))
+
+
+def _make_audio(rng: np.random.Generator, rate: int = 8000) -> bytes:
+    n = int(rng.integers(rate // 10, rate // 2))          # 0.1–0.5 s
+    t = np.arange(n) / rate
+    f1 = float(rng.integers(100, 1500))
+    f2 = float(rng.integers(1500, 3500))
+    x = (0.5 * np.sin(2 * np.pi * f1 * t)
+         + 0.3 * np.sin(2 * np.pi * f2 * t)
+         + 0.05 * rng.standard_normal(n))
+    return encode_wav((np.clip(x, -1, 1) * 32767).astype(np.int16), rate)
+
+
+def generate_media(seed: int, n_rows: int) -> pa.Table:
+    ids = np.arange(n_rows, dtype=np.int64)
+    kinds, payloads = [], []
+    for i in ids:
+        rng = np.random.default_rng((seed << 20) ^ int(i))  # per-row stream:
+        # payload i is identical regardless of table size or build order
+        if i % 2 == 0:
+            kinds.append("image")
+            payloads.append(_make_image(rng))
+        else:
+            kinds.append("audio")
+            payloads.append(_make_audio(rng))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "kind": pa.array(kinds, pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
+
+
+def ensure_media(sf_dir: str, seed: int = 42,
+                 root: str = "/tmp/graft_media") -> str:
+    """Idempotently materialize the media table for a scale factor;
+    returns the directory containing ``media/*.parquet``."""
+    import shutil
+    out = os.path.join(root, sf_name(sf_dir))
+    done = os.path.join(out, _MARKER)
+    if os.path.exists(done):
+        return out
+    n_rows = media_rows_for(sf_dir)
+    table = generate_media(seed, n_rows)
+    Path(root).mkdir(parents=True, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=root, prefix=".build-")
+    mdir = Path(tmp, "media")
+    mdir.mkdir()
+    n_files = 4
+    step = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = table.slice(i * step, step)
+        if sl.num_rows:
+            pq.write_table(sl, str(mdir / f"part-{i:04d}.parquet"))
+    Path(tmp, _MARKER).touch()
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -2,12 +2,21 @@
 ``binary`` columns with typed metadata, processed by actor-pool
 ``map_batches`` stages.
 
-The sandbox has no image/audio libraries, so the decode kernels are STUBS
-(clearly marked): ``DecodeStage(fake=False)`` raises ``NotImplementedError``
-with the library it would use; ``fake=True`` runs a deterministic fake
-decode so the Ray-side plumbing — schema, batch sizing, actor pool
-signature, output layout — is real and tested. On a real deployment only
-``_decode_real`` changes.
+Two tiers:
+
+- **Real kernels** for the uncompressed baseline formats the sandbox CAN
+  decode with numpy alone — BMP images and WAV PCM16 audio (see
+  functions/media.py for the honest format parsers). ``MediaStatsStage``
+  / ``MediaFeatureStage`` / ``FrameSampleStage(real=True)`` sniff magic
+  bytes and produce real metadata, real 16-dim features, and real
+  windowed audio frames. The per-row loop inside each batch is inherent
+  to variable-size payload decode (every media engine's shape); each
+  decode is itself vectorized numpy over the payload bytes.
+- **Declared stubs** for compressed formats (JPEG/PNG/MP3/…):
+  ``DecodeStage(fake=False)`` handles BMP/WAV via the real parsers and
+  raises ``NotImplementedError`` naming the missing library for the
+  rest; ``fake=True`` keeps the deterministic hash-fake so plumbing
+  tests run format-independent.
 
 Sizing note: binary payloads dominate block size; callers should use small
 ``batch_size`` (≤1024 for images) and bound ``concurrency × payload × batch``
@@ -20,6 +29,9 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.media import (audio_features, audio_stats, decode_bmp,
+                               decode_wav, image_features, sniff_format)
 
 FEATURE_DIM = 16
 
@@ -52,9 +64,17 @@ class DecodeStage:
         self.fake = fake
 
     def _decode_real(self, payload: bytes):
+        fmt = sniff_format(payload)
+        if fmt == "bmp":
+            img = decode_bmp(payload)
+            return img.shape[1], img.shape[0], "bmp"
+        if fmt == "wav":
+            rate, samples = decode_wav(payload)
+            return len(samples), 1, "wav"          # (n_samples, 1 channel)
         raise NotImplementedError(
-            "real image decode needs PIL/libvips — not present in this "
-            "container; run with fake=True for the deterministic stub")
+            f"decode for format {fmt!r} needs PIL/libvips/ffmpeg — not "
+            "present in this container; BMP/WAV decode natively, or run "
+            "with fake=True for the format-independent stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
@@ -89,25 +109,127 @@ class FeatureExtractStage:
         return batch.append_column("features", arr)
 
 
-class FrameSampleStage:
-    """Video-style frame sampling stub: emits ``n_frames`` synthetic frame
-    offsets per payload (deterministic), one output row per frame —
-    demonstrates a flat-map-shaped multimodal stage."""
+class MediaStatsStage:
+    """REAL actor-pool stage: sniff + decode each payload and emit typed
+    metadata — (format, width, height) for images, (duration_ms, rms,
+    dominant_freq_hz) for audio; inapplicable fields are null. Unknown
+    formats pass through with format='unknown' and all-null stats (a
+    100-TB crawl always contains undecodable bytes; dropping them is the
+    caller's policy, not the decoder's)."""
 
-    def __init__(self, column: str = "html", n_frames: int = 3):
+    def __init__(self, column: str = "payload", id_cols: tuple = ("media_id", "kind")):
         self.column = column
-        self.n_frames = n_frames
+        self.id_cols = id_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        urls = batch.column("url").to_pylist()
-        out_u, out_f = [], []
-        for u, v in zip(urls, col):
-            h = hashlib.md5(v.as_py()).digest()
-            for i in range(self.n_frames):
-                out_u.append(u)
-                out_f.append(int.from_bytes(h[i:i + 2], "big") % 10_000)
-        return pa.table({"url": pa.array(out_u, pa.string()),
-                         "frame_ms": pa.array(out_f, pa.int32())})
+        fmt, w, h, dur, rms, dom = [], [], [], [], [], []
+        for v in col:
+            p = v.as_py()
+            f = sniff_format(p)
+            fmt.append(f)
+            if f == "bmp":
+                img = decode_bmp(p)
+                w.append(img.shape[1]); h.append(img.shape[0])
+                dur.append(None); rms.append(None); dom.append(None)
+            elif f == "wav":
+                rate, samples = decode_wav(p)
+                d, r, fq = audio_stats(rate, samples)
+                w.append(None); h.append(None)
+                dur.append(int(d * 1000)); rms.append(r); dom.append(fq)
+            else:
+                w.append(None); h.append(None)
+                dur.append(None); rms.append(None); dom.append(None)
+        cols = {c: batch.column(c) for c in self.id_cols}
+        cols.update({"format": pa.array(fmt, pa.string()),
+                     "width": pa.array(w, pa.int32()),
+                     "height": pa.array(h, pa.int32()),
+                     "duration_ms": pa.array(dur, pa.int32()),
+                     "rms": pa.array(rms, pa.float64()),
+                     "dominant_freq_hz": pa.array(dom, pa.float64())})
+        return pa.table(cols)
+
+
+class MediaFeatureStage:
+    """REAL actor-pool stage: payload → 16-dim float32 feature vector —
+    4×4 mean-pooled grayscale thumbnail for BMP, 16-band log spectral
+    energy for WAV (functions/media.py kernels). Undecodable payloads get
+    a zero vector (kept, so the row count is stable for joins)."""
+
+    def __init__(self, column: str = "payload"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        feats = np.zeros((len(col), FEATURE_DIM), np.float32)
+        for i, v in enumerate(col):
+            p = v.as_py()
+            f = sniff_format(p)
+            if f == "bmp":
+                feats[i] = image_features(decode_bmp(p))
+            elif f == "wav":
+                feats[i] = audio_features(*decode_wav(p))
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float32()), FEATURE_DIM)
+        return batch.drop_columns([self.column]).append_column("features", arr)
+
+
+class FrameSampleStage:
+    """Frame sampling as a flat-map-shaped multimodal stage: one output
+    row per sampled frame.
+
+    ``real=True`` (WAV payloads): REAL windowed sampling — cut the clip
+    into ``window_ms`` windows, emit every ``stride``-th one with its
+    offset and RMS (the audio analog of video frame sampling; numpy
+    reshape, no per-sample loop). ``real=False``: the deterministic
+    hash-fake retained for format-independent plumbing tests."""
+
+    def __init__(self, column: str = "html", n_frames: int = 3,
+                 real: bool = False, id_col: str = "url",
+                 window_ms: int = 100, stride: int = 2):
+        self.column = column
+        self.n_frames = n_frames
+        self.real = real
+        self.id_col = id_col
+        self.window_ms = window_ms
+        self.stride = stride
+
+    def _real_frames(self, ident, payload: bytes, out_u, out_f, out_r):
+        rate, samples = decode_wav(payload)
+        win = max(1, rate * self.window_ms // 1000)
+        n_win = len(samples) // win
+        if n_win == 0:
+            return
+        x = (samples[:n_win * win].astype(np.float64) / 32768.0
+             ).reshape(n_win, win)
+        rms = np.sqrt((x * x).mean(axis=1))
+        for j in range(0, n_win, self.stride):
+            out_u.append(ident)
+            out_f.append(j * self.window_ms)
+            out_r.append(float(rms[j]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idents = batch.column(self.id_col).to_pylist()
+        out_u, out_f, out_r = [], [], []
+        for u, v in zip(idents, col):
+            p = v.as_py()
+            if self.real:
+                if sniff_format(p) == "wav":
+                    self._real_frames(u, p, out_u, out_f, out_r)
+            else:
+                h = hashlib.md5(p).digest()
+                for i in range(self.n_frames):
+                    out_u.append(u)
+                    out_f.append(int.from_bytes(h[i:i + 2], "big") % 10_000)
+                    out_r.append(0.0)
+        id_type = batch.schema.field(self.id_col).type
+        return pa.table({self.id_col: pa.array(out_u, id_type),
+                         "frame_ms": pa.array(out_f, pa.int32()),
+                         "frame_rms": pa.array(out_r, pa.float64())})

@@ -1,0 +1,163 @@
+"""Real multimodal codec + stage tests (functions/media.py,
+stages/multimodal.py real paths, pipelines/media_queries.py)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlingathome_server_ray.functions.media import (
+    FEATURE_DIM, audio_features, audio_stats, decode_bmp, decode_wav,
+    encode_bmp, encode_wav, image_features, resize_nearest, sniff_format)
+from crawlingathome_server_ray.sources.media_synth import generate_media
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ codecs
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(st.integers(1, 5000), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip(n, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(out, samples)
+
+
+def test_bmp_row_padding_and_orientation():
+    # w=3 → row stride 12 (9 data + 3 pad); pixel (0,0) is written LAST
+    # (bottom-up) — a decoder that ignores either fails this
+    img = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    payload = encode_bmp(img)
+    assert len(payload) == 54 + 12 * 3
+    assert np.array_equal(decode_bmp(payload), img)
+
+
+def test_wav_chunk_walk_tolerates_vendor_chunks():
+    samples = np.arange(100, dtype=np.int16)
+    p = bytearray(encode_wav(samples, 8000))
+    # splice a vendor chunk between fmt and data (spec-legal)
+    fmt_end = 12 + 8 + 16
+    vendor = b"LIST" + np.uint32(4).tobytes() + b"INFO"
+    spliced = bytes(p[:fmt_end]) + vendor + bytes(p[fmt_end:])
+    rate, out = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(out, samples)
+
+
+def test_decoders_reject_garbage_loudly():
+    with pytest.raises(ValueError):
+        decode_bmp(b"not a bmp at all" * 10)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 64)
+    assert sniff_format(b"\xff\xd8\xff\xe0jfif") == "jpeg"
+    assert sniff_format(b"\x89PNG\r\n\x1a\nrest") == "png"
+
+
+# ---------------------------------------------------------------- features
+def test_image_features_constant_image():
+    img = np.full((32, 32, 3), 255, np.uint8)
+    f = image_features(img)
+    assert f.shape == (FEATURE_DIM,)
+    assert np.allclose(f, 1.0, atol=1e-3)  # all-white → all cells ≈ 1
+
+
+def test_image_features_quadrants():
+    # left half black, right half white → left pool columns ≈0, right ≈1
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, 8:] = 255
+    f = image_features(img).reshape(4, 4)
+    assert np.allclose(f[:, :2], 0.0, atol=1e-3)
+    assert np.allclose(f[:, 2:], 1.0, atol=1e-3)
+
+
+def test_audio_features_sine_peak():
+    rate, f0 = 8000, 1000.0
+    t = np.arange(4000) / rate
+    samples = (0.8 * np.sin(2 * np.pi * f0 * t) * 32767).astype(np.int16)
+    feats = audio_features(rate, samples)
+    # 1 kHz of a 4 kHz Nyquist span → band 4 of 16 holds the peak
+    assert int(np.argmax(feats)) == 4
+    dur, rms, dom = audio_stats(rate, samples)
+    assert abs(dur - 0.5) < 1e-9
+    assert abs(rms - 0.8 / np.sqrt(2)) < 0.01
+    assert abs(dom - f0) < rate / 4000 + 1e-9  # one FFT bin
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(resize_nearest(img, 8, 8), img)
+    small = resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert np.array_equal(small[0, 0], img[2, 2])  # center of the cell
+
+
+# -------------------------------------------------------------- stages/e2e
+def test_media_table_deterministic_and_real():
+    t1 = generate_media(42, 24)
+    t2 = generate_media(42, 48)
+    for i in range(24):  # per-row streams: prefix-stable across sizes
+        assert t1.column("payload")[i].as_py() == t2.column("payload")[i].as_py()
+    kinds = t1.column("kind").to_pylist()
+    assert kinds[::2] == ["image"] * 12 and kinds[1::2] == ["audio"] * 12
+    for i, k in enumerate(kinds):
+        p = t1.column("payload")[i].as_py()
+        assert sniff_format(p) == ("bmp" if k == "image" else "wav")
+
+
+def test_media_queries_end_to_end(ray_session):
+    from crawlingathome_server_ray.pipelines.media_queries import (
+        q_media_features, q_media_frames, q_media_stats)
+    from crawlingathome_server_ray.sources.media_synth import media_rows_for
+
+    n = media_rows_for(SF)
+    stats = q_media_stats(SF).to_pandas()
+    assert len(stats) == n
+    img = stats[stats["kind"] == "image"]
+    aud = stats[stats["kind"] == "audio"]
+    assert (img["format"] == "bmp").all() and (aud["format"] == "wav").all()
+    assert img["width"].between(8, 48).all() and img["height"].between(8, 48).all()
+    assert aud["duration_ms"].between(100, 500).all()
+    assert (aud["rms"] > 0.1).all()
+    # synth mixes f1∈[100,1500) at amplitude 0.5 > f2's 0.3 → dominant=f1
+    assert aud["dominant_freq_hz"].between(90, 1510).all()
+    assert img[["duration_ms", "rms"]].isna().all().all()
+    assert aud[["width", "height"]].isna().all().all()
+
+    feats = q_media_features(SF).to_pandas()
+    assert len(feats) == n
+    assert all(len(v) == FEATURE_DIM for v in feats["features"].head(20))
+    # image features are pixel means in [0,1]; audio log-energies ≥ 0
+    m = np.stack(feats["features"].to_numpy())
+    assert np.isfinite(m).all() and (m >= 0).all()
+
+    frames = q_media_frames(SF).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_ms", "frame_rms"}
+    assert frames["media_id"].nunique() == n // 2  # audio rows only
+    # every clip ≥100 ms emits its window 0; stride-2 → offsets are even
+    assert (frames["frame_ms"] % 200 == 0).all()
+    assert frames.groupby("media_id")["frame_ms"].min().eq(0).all()
+    # frame RMS within a clip must be consistent with the clip-level RMS
+    j = frames.groupby("media_id")["frame_rms"].mean().to_frame().join(
+        aud.set_index("media_id")["rms"])
+    assert (j["frame_rms"] - j["rms"]).abs().max() < 0.1
+
+
+def test_decode_stage_real_path(ray_session):
+    from crawlingathome_server_ray.stages.multimodal import DecodeStage
+    t = generate_media(7, 8)
+    stage = DecodeStage(column="payload", fake=False)
+    out = stage(t)
+    w = out.column("width").to_pylist()
+    fmt = out.column("format").to_pylist()
+    assert fmt[::2] == ["bmp"] * 4 and fmt[1::2] == ["wav"] * 4
+    assert all(8 <= x <= 48 for x in w[::2])
+    with pytest.raises(NotImplementedError):
+        stage._decode_real(b"\xff\xd8\xffjpeg-bytes")
