@@ -81,7 +81,7 @@ class DecodeStage:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         decode = _fake_decode if self.fake else self._decode_real
-        metas = [decode(v.as_py()) for v in col]
+        metas = [decode(v) for v in col.to_pylist()]
         return (batch
                 .append_column("width", pa.array([m[0] for m in metas], pa.int32()))
                 .append_column("height", pa.array([m[1] for m in metas], pa.int32()))
@@ -103,7 +103,7 @@ class FeatureExtractStage:
         col = batch.column(self.column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        feats = np.stack([_fake_features(v.as_py()) for v in col])
+        feats = np.stack([_fake_features(v) for v in col.to_pylist()])
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), FEATURE_DIM)
         return batch.append_column("features", arr)
@@ -126,8 +126,7 @@ class MediaStatsStage:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         fmt, w, h, dur, rms, dom = [], [], [], [], [], []
-        for v in col:
-            p = v.as_py()
+        for p in col.to_pylist():
             f = sniff_format(p)
             fmt.append(f)
             if f == "bmp":
@@ -166,8 +165,7 @@ class MediaFeatureStage:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         feats = np.zeros((len(col), FEATURE_DIM), np.float32)
-        for i, v in enumerate(col):
-            p = v.as_py()
+        for i, p in enumerate(col.to_pylist()):
             f = sniff_format(p)
             if f == "bmp":
                 feats[i] = image_features(decode_bmp(p))
@@ -218,8 +216,7 @@ class FrameSampleStage:
             col = col.combine_chunks()
         idents = batch.column(self.id_col).to_pylist()
         out_u, out_f, out_r = [], [], []
-        for u, v in zip(idents, col):
-            p = v.as_py()
+        for u, p in zip(idents, col.to_pylist()):
             if self.real:
                 if sniff_format(p) == "wav":
                     self._real_frames(u, p, out_u, out_f, out_r)
