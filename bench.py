@@ -138,6 +138,16 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
     # checkpoints on tmpfs: the bench measures the pipeline, not the
     # sandbox's virtual-disk write variance (the real deployment writes to
     # a distributed store)
+    # same steady-state session warmup as run_suite (worker pool + imports)
+    import ray.data as _rd
+
+    def _warm(b):
+        import crawlingathome_server_ray.pipelines.frontier  # noqa: F401
+        return b
+
+    _rd.range(num_cpus * 4, override_num_blocks=num_cpus * 2) \
+        .map_batches(_warm, batch_format="pyarrow").materialize()
+
     ckpt = f"/dev/shm/graft_scaling_ckpt_{num_cpus}"
     shutil.rmtree(ckpt, ignore_errors=True)
     # GRAFT_HEX_CHARS=2 measures the 256-partition at-scale configuration
