@@ -22,7 +22,8 @@ import os
 import ray.data
 
 from ..sources.media_synth import ensure_media
-from ..stages.multimodal import FrameSampleStage, MediaFeatureStage, MediaStatsStage
+from ..stages.multimodal import (FrameSampleStage, MediaFeatureStage,
+                                 MediaStatsStage, ThumbnailStage)
 
 MEDIA_BATCH = 256  # payloads are KBs; keep batch × concurrency in heap
 
@@ -60,8 +61,19 @@ def q_media_frames(sf_dir: str):
         batch_size=MEDIA_BATCH, concurrency=2, batch_format="pyarrow")
 
 
+def q_media_thumbnails(sf_dir: str):
+    """Decode → nearest-neighbor resize → re-encode each image payload
+    as a 16×16 BMP thumbnail (null thumb for non-image rows):
+    (media_id, kind, thumb binary, thumb_h, thumb_w) — the media
+    transform shape (payload in, smaller payload out)."""
+    return media_ds(sf_dir).map_batches(
+        ThumbnailStage, batch_size=MEDIA_BATCH, concurrency=2,
+        batch_format="pyarrow")
+
+
 MEDIA_QUERIES = {
     "media_stats": q_media_stats,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
+    "media_thumbnails": q_media_thumbnails,
 }

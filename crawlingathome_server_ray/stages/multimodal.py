@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.media import (audio_features, audio_stats, decode_bmp,
-                               decode_wav, image_features, sniff_format)
+                               decode_wav, encode_bmp, image_features,
+                               resize_nearest, sniff_format)
 
 FEATURE_DIM = 16
 
@@ -174,6 +175,44 @@ class MediaFeatureStage:
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), FEATURE_DIM)
         return batch.drop_columns([self.column]).append_column("features", arr)
+
+
+class ThumbnailStage:
+    """REAL actor-pool stage: image payload → re-encoded thumbnail —
+    decode BMP, nearest-neighbor resize to (out_h, out_w)
+    (``functions/media.resize_nearest``), re-encode as BMP. The classic
+    media *transform* stage (decode → resize → encode), complementing
+    the metadata/feature *extract* stages above. Non-image payloads get
+    a null thumb (kept: row count stays stable for joins, and dropping
+    undecodables is the caller's policy)."""
+
+    def __init__(self, column: str = "payload", out_h: int = 16,
+                 out_w: int = 16, id_cols: tuple = ("media_id", "kind")):
+        self.column = column
+        self.out_h = out_h
+        self.out_w = out_w
+        self.id_cols = id_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        thumbs: list[bytes | None] = []
+        for p in col.to_pylist():
+            if sniff_format(p) == "bmp":
+                thumbs.append(encode_bmp(
+                    resize_nearest(decode_bmp(p), self.out_h, self.out_w)))
+            else:
+                thumbs.append(None)
+        cols = {c: batch.column(c) for c in self.id_cols}
+        cols.update({"thumb": pa.array(thumbs, pa.binary()),
+                     "thumb_h": pa.array(
+                         [self.out_h if t is not None else None
+                          for t in thumbs], pa.int32()),
+                     "thumb_w": pa.array(
+                         [self.out_w if t is not None else None
+                          for t in thumbs], pa.int32())})
+        return pa.table(cols)
 
 
 class FrameSampleStage:

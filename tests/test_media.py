@@ -150,6 +150,34 @@ def test_media_queries_end_to_end(ray_session):
     assert (j["frame_rms"] - j["rms"]).abs().max() < 0.1
 
 
+def test_thumbnail_stage_and_query(ray_session):
+    from crawlingathome_server_ray.pipelines.media_queries import (
+        q_media_thumbnails)
+    from crawlingathome_server_ray.stages.multimodal import ThumbnailStage
+
+    # stage-level: thumb decodes back to exactly resize_nearest(original)
+    t = generate_media(7, 8)
+    out = ThumbnailStage(column="payload", out_h=4, out_w=4)(t)
+    for i in range(8):
+        thumb = out.column("thumb")[i].as_py()
+        if t.column("kind")[i].as_py() == "image":
+            orig = decode_bmp(t.column("payload")[i].as_py())
+            assert np.array_equal(decode_bmp(thumb),
+                                  resize_nearest(orig, 4, 4))
+        else:
+            assert thumb is None
+
+    # query-level over the media table
+    th = q_media_thumbnails(SF).to_pandas()
+    img = th[th["kind"] == "image"]
+    aud = th[th["kind"] == "audio"]
+    assert img["thumb"].notna().all() and aud["thumb"].isna().all()
+    assert (img["thumb_h"] == 16).all() and (img["thumb_w"] == 16).all()
+    sample = img["thumb"].iloc[0]
+    assert sniff_format(sample) == "bmp"
+    assert decode_bmp(sample).shape == (16, 16, 3)
+
+
 def test_decode_stage_real_path(ray_session):
     from crawlingathome_server_ray.stages.multimodal import DecodeStage
     t = generate_media(7, 8)
