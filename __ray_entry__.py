@@ -35,6 +35,8 @@ from crawlingathome_server_ray.pipelines.docs_queries import (DOCS_QUERIES,
 from crawlingathome_server_ray.pipelines.frontier_core import pages_path
 from crawlingathome_server_ray.pipelines.media_queries import MEDIA_QUERIES
 from crawlingathome_server_ray.pipelines.oracle import frontier_oracle_sql
+from crawlingathome_server_ray.pipelines.training_queries import (
+    TRAINING_QUERIES, TRAINING_SQL)
 from crawlingathome_server_ray.sources.synth import ensure_frontier
 
 # the driver compares at sf0.01; materialize that frontier at import time so
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(ANALYTICS_QUERIES)
     out.update(DOCS_QUERIES)
     out.update(CURATION_QUERIES)
+    out.update(TRAINING_QUERIES)
     # rows-only: real BMP/WAV decode — DuckDB cannot parse these formats;
     # round-trip + golden coverage in tests/test_media.py
     out.update(MEDIA_QUERIES)
@@ -87,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(ANALYTICS_SQL)
     sqls.update(DOCS_SQL)
     sqls.update(CURATION_SQL)
+    sqls.update(TRAINING_SQL)
     sqls["binary_meta"] = sql_binary_meta(pages_path(_SF_ORACLE))
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     return sqls
