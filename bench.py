@@ -67,6 +67,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         .map_batches(_warm, batch_format="pyarrow").materialize()
 
     from crawlingathome_server_ray.pipelines import curation_queries as cu
+    from crawlingathome_server_ray.pipelines import training_queries as tr
 
     def consume(ds):
         # drain a Dataset without materializing on the driver
@@ -119,6 +120,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timed("doc_decontaminate",
               lambda: consume(cu.q_doc_decontaminate(sf_dir)))
         timed("doc_lm_score", lambda: consume(cu.q_doc_lm_score(sf_dir)))
+        timed("seq_pack", lambda: consume(tr.q_seq_pack(sf_dir)))
+        timed("doc_line_dedup", lambda: consume(tr.q_doc_line_dedup(sf_dir)))
+        timed("semantic_dedup", lambda: consume(tr.q_semantic_dedup(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

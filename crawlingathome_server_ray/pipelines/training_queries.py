@@ -46,8 +46,7 @@ def _tok_lists(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     doc_of = doc_of[keep]
     kept_counts = np.bincount(doc_of, minlength=len(counts))
     starts = np.cumsum(kept_counts) - kept_counts
-    idx_within = np.arange(len(doc_of)) - np.repeat(starts[kept_counts > 0],
-                                                    kept_counts[kept_counts > 0])
+    idx_within = np.arange(len(doc_of)) - np.repeat(starts, kept_counts)
     return toks, doc_of, idx_within
 
 
@@ -220,7 +219,7 @@ def q_doc_line_dedup(sf_dir: str):
     from .docs_queries import _join_partitions
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def explode(b: pa.Table) -> pa.Table:
+    def _explode_arrays(b: pa.Table):
         texts = b.column("text")
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
@@ -233,6 +232,10 @@ def q_doc_line_dedup(sf_dir: str):
         idx = np.arange(len(doc_id)) - np.repeat(starts, counts)
         h = md5_hash64(flat).view(np.int64)
         key = (doc_id << LINE_IDX_BITS) + idx
+        return doc_id, idx, flat, h, key
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_id, idx, flat, h, key = _explode_arrays(b)
         return pa.table({"line_h": pa.array(h, pa.int64()),
                          "key": pa.array(key, pa.int64()),
                          "doc_id": pa.array(doc_id, pa.int64()),
@@ -243,8 +246,11 @@ def q_doc_line_dedup(sf_dir: str):
                            batch_size=BATCH)
 
     def first_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"line_h": np.asarray(b.column("line_h")),
-                           "key": np.asarray(b.column("key"))})
+        # fused slim pass for the firsts side: explodes and immediately
+        # reduces to one (line_h, min key) row per distinct line in the
+        # batch — the line strings never enter this shuffle
+        _, _, _, h, key = _explode_arrays(b)
+        df = pd.DataFrame({"line_h": h, "key": key})
         out = df.groupby("line_h", sort=False)["key"].min().reset_index()
         return pa.table({
             "line_h": pa.array(out["line_h"].to_numpy(np.int64), pa.int64()),
@@ -252,9 +258,8 @@ def q_doc_line_dedup(sf_dir: str):
             "lbucket": pa.array((out["line_h"].to_numpy(np.int64)
                                  % LINE_BUCKETS).astype(np.int32), pa.int32())})
 
-    firsts = (lines.select_columns(["line_h", "key"])
-              .map_batches(first_partial, batch_format="pyarrow",
-                           batch_size=65536)
+    firsts = (ds.map_batches(first_partial, batch_format="pyarrow",
+                             batch_size=BATCH)
               .groupby("lbucket")
               .map_groups(lambda g: g.groupby("line_h", sort=False)
                           ["first_key"].min().reset_index(),
