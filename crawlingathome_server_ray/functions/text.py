@@ -197,37 +197,111 @@ def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
 LM_BUCKETS = 1 << 18
 
 
+CHUNK_CHARS = 1 << 21  # ~2M codepoints per kernel chunk (see below)
+
+# per-worker reusable scratch (the kernel runs inside long-lived Ray
+# workers; reusing pages avoids first-touch page faults, which on this
+# VM's degraded-memory phases run 10-100× slower than warm writes)
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or len(buf) < n:
+        buf = np.empty(max(n, CHUNK_CHARS + 2), dtype)
+        _SCRATCH[name] = buf
+    return buf[:n]
+
+
+def _splitmix_inplace(a: np.ndarray, tmp: np.ndarray) -> None:
+    """In-place splitmix64 finalizer (bit-identical to dedup._splitmix)."""
+    from .dedup import _GOLD
+    a += _GOLD
+    np.right_shift(a, np.uint64(30), out=tmp)
+    a ^= tmp
+    a *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(a, np.uint64(27), out=tmp)
+    a ^= tmp
+    a *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(a, np.uint64(31), out=tmp)
+    a ^= tmp
+
+
+def _trigram_chunk(arr_chunk: list, out: np.ndarray) -> int:
+    """Hashed-trigram buckets for one bounded chunk of docs, written into
+    ``out`` (the caller's slice of the batch result); returns the count.
+    All intermediates live in reusable per-worker scratch — the only
+    fresh allocations per call are the joined string/bytes (unavoidable)."""
+    from .dedup import _GOLD
+    joined = "\x00\x00".join(arr_chunk)
+    u = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    m = len(u) - 2
+    if m <= 0:
+        return 0
+    h = _scratch("h", m, np.uint64)
+    t = _scratch("t", m, np.uint64)
+    np.copyto(h, u[:-2], casting="unsafe")          # c0
+    h *= _GOLD
+    np.copyto(t, u[1:-1], casting="unsafe")         # c1
+    h ^= t
+    _splitmix_inplace(h, t)
+    h *= _GOLD
+    np.copyto(t, u[2:], casting="unsafe")           # c2
+    h ^= t
+    _splitmix_inplace(h, t)
+    h %= np.uint64(LM_BUCKETS)
+    v = _scratch("v", m, bool)
+    w = _scratch("w", m, bool)
+    np.not_equal(u[:-2], 0, out=v)
+    np.not_equal(u[1:-1], 0, out=w)
+    v &= w
+    np.not_equal(u[2:], 0, out=w)
+    v &= w
+    n_valid = int(np.count_nonzero(v))
+    np.compress(v, h.view(np.int64), out=out[:n_valid])
+    return n_valid
+
+
 def char_trigram_buckets(texts) -> tuple[np.ndarray, np.ndarray]:
     """(flat hashed-trigram bucket ids, int64 offsets[n+1]) for a whole
     batch, vectorized: docs are joined with a 2-NUL separator and decoded
-    ONCE to a uint32 codepoint array (``utf-32-le`` + frombuffer — no
+    to a uint32 codepoint array (``utf-32-le`` + frombuffer — no
     per-char Python), trigram hashes are a position-sensitive splitmix
     fold over three shifted views, bucket = hash mod 2^18. Windows
     touching a separator are masked out, so no trigram crosses a doc
     boundary; docs shorter than 3 chars contribute none. (Real NUL chars
     in a doc would shed that doc's adjacent trigrams — acceptable for a
-    quality score; synth/web text has none.)"""
-    from .dedup import _GOLD, _splitmix
+    quality score; synth/web text has none.)
+
+    The decode+fold runs over doc-aligned chunks of ≤ ``CHUNK_CHARS``
+    codepoints, with every intermediate in REUSABLE per-worker scratch
+    and the result written straight into one preallocated output array:
+    the naive fold chain allocates ~10 fresh temporaries the size of the
+    whole batch, and on this VM first-touch page faults intermittently
+    run 10-100× slower than warm writes (measured 34× single-threaded on
+    identical inputs), so allocation traffic — not FLOPs — dominated the
+    200k-doc LM build. Trigram hashes never cross docs, so doc-aligned
+    chunking is exact; results are bit-identical to the scalar twin."""
     arr = np.asarray(texts, dtype=object)
     n = len(arr)
     offs = np.zeros(n + 1, dtype=np.int64)
     if n == 0:
         return np.zeros(0, np.int64), offs
-    joined = "\x00\x00".join(arr.tolist())
-    u = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-    lens = np.fromiter((len(t) for t in arr.tolist()), count=n,
-                       dtype=np.int64)
+    lst = arr.tolist()
+    lens = np.fromiter((len(t) for t in lst), count=n, dtype=np.int64)
     tri_counts = np.maximum(lens - 2, 0)
     np.cumsum(tri_counts, out=offs[1:])
-    if len(u) < 3:
-        return np.zeros(0, np.int64), offs
-    c0 = u[:-2].astype(np.uint64)
-    c1 = u[1:-1].astype(np.uint64)
-    c2 = u[2:].astype(np.uint64)
-    h = _splitmix((_splitmix((c0 * _GOLD) ^ c1) * _GOLD) ^ c2)
-    valid = (u[:-2] != 0) & (u[1:-1] != 0) & (u[2:] != 0)
-    b = (h[valid] % np.uint64(LM_BUCKETS)).astype(np.int64)
-    assert len(b) == offs[-1]
+    b = np.empty(int(offs[-1]), dtype=np.int64)
+    pos = 0
+    start, budget = 0, 0
+    for i in range(n):
+        budget += int(lens[i]) + 2
+        if budget >= CHUNK_CHARS:
+            pos += _trigram_chunk(lst[start:i + 1], b[pos:])
+            start, budget = i + 1, 0
+    if start < n:
+        pos += _trigram_chunk(lst[start:], b[pos:])
+    assert pos == offs[-1]
     return b, offs
 
 

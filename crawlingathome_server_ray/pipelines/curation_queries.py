@@ -549,10 +549,16 @@ def q_doc_lm_score(sf_dir: str):
     ref = ray.put(logp)
 
     def score(b: pa.Table) -> pa.Table:
+        from ..functions.text import _scratch
         texts = np.asarray(b.column("text"), dtype=object)
         h, offs = char_trigram_buckets(texts)
         lp = ray.get(ref)
-        s = segment_sums(lp[h], offs)
+        # gather into per-worker scratch: a fresh lp[h] is ~100 MB/batch
+        # of first-touch pages (see char_trigram_buckets on why that is
+        # the dominant cost on this VM)
+        g = _scratch("lmg", len(h), np.float64)
+        np.take(lp, h, out=g)
+        s = segment_sums(g, offs)
         t = np.diff(offs)
         bits = np.where(t > 0, -s / np.maximum(t, 1), 0.0)
         return pa.table({"doc_id": b.column("doc_id"),

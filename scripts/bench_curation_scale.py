@@ -30,11 +30,16 @@ ROOT = "/tmp/graft_curation_scale"
 
 def ensure_corpus(n_docs: int) -> str:
     """Deterministic synthetic corpus: doc lengths 50-400 tokens over a
-    5k-word vocab; every 100th doc (i % 100 == 37) is a near-copy of doc
-    i-17 (first 90% of its tokens) so near-dup/repeated-gram operators
-    have real signal. Single seeded pass, cached with a done-marker."""
+    5k-word vocab, broken into 25-token '\\n' paragraphs (so line-level
+    dedup has real line structure); every 100th doc (i % 100 == 37) is a
+    near-copy of doc i-17 (first 90% of its PARAGRAPHS — also a ~90%
+    token prefix) so near-dup / repeated-gram / line-dedup operators all
+    have signal. Single seeded pass, cached with a done-marker.
+    (v3: paragraphs + planted duplicate embeddings; v2 records measured
+    the single-line variant — token streams identical, line structure
+    new, so token-level timings are comparable across v2→v3.)"""
     out = f"{ROOT}/{n_docs}"
-    marker = f"{out}/_DONE_v2"
+    marker = f"{out}/_DONE_v3"
     if os.path.exists(marker):
         return out
     import shutil
@@ -49,13 +54,20 @@ def ensure_corpus(n_docs: int) -> str:
     lengths = rng.integers(50, 401, size=n_docs)
     flat = rng.integers(0, VOCAB, size=int(lengths.sum()))
     doc_of = np.repeat(np.arange(n_docs), lengths)
+    PARA = 25  # tokens per '\n'-separated paragraph
+
+    def para_join(toks):
+        return "\n".join(" ".join(toks[i:i + PARA])
+                         for i in range(0, len(toks), PARA))
+
     texts = (pd.Series(words[flat])
-             .groupby(doc_of, sort=True).agg(" ".join).to_numpy(dtype=object))
+             .groupby(doc_of, sort=True).agg(list)
+             .map(para_join).to_numpy(dtype=object))
     dup = np.arange(n_docs) % 100 == 37
     for i in np.nonzero(dup)[0]:
         if i >= 17:
-            src = texts[i - 17].split()
-            texts[i] = " ".join(src[: max(1, int(len(src) * 0.9))])
+            src = texts[i - 17].split("\n")
+            texts[i] = "\n".join(src[: max(1, int(len(src) * 0.9))])
     n_chars = np.array([len(t) for t in texts], dtype=np.int64)
     langs = np.array(["en", "de", "fr", "es"], dtype=object)[
         rng.integers(0, 4, size=n_docs)]
@@ -78,10 +90,15 @@ def ensure_corpus(n_docs: int) -> str:
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     lab = rng.integers(0, k, size=n_docs)
     os.makedirs(f"{out}/embeddings.parquet", exist_ok=True)
+    # planted exact-duplicate vectors so semantic dedup has signal:
+    # every 200th vec (i % 200 == 53, i >= 17) copies vec i-17
+    all_pts = (centers[lab] + 0.3 * rng.standard_normal((n_docs, d))
+               ).astype(np.float32)
+    vdup = (np.arange(n_docs) % 200 == 53) & (np.arange(n_docs) >= 17)
+    all_pts[vdup] = all_pts[np.nonzero(vdup)[0] - 17]
     for f in range(N_FILES):
         lo, hi = f * per, min((f + 1) * per, n_docs)
-        pts = (centers[lab[lo:hi]]
-               + 0.3 * rng.standard_normal((hi - lo, d))).astype(np.float32)
+        pts = all_pts[lo:hi]
         pq.write_table(pa.table({
             "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
             "embedding": pa.array(list(pts), pa.list_(pa.float32())),
@@ -106,6 +123,21 @@ def main() -> None:
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    # session + worker-heap warmup (same rationale as bench.py's _warm:
+    # steady-state measurement; this VM throttles first-touch page faults
+    # per worker, so unwarmed heaps bill ~25 s to the first heavy query)
+    def _warm(b):
+        import crawlingathome_server_ray.pipelines.docs_queries  # noqa: F401
+        x = np.empty(256 << 20, dtype=np.uint8)
+        x[::4096] = 1
+        del x
+        return b
+
+    ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 2) \
+        .map_batches(_warm, batch_format="pyarrow").materialize()
 
     from crawlingathome_server_ray.pipelines import curation_queries as cq
     from crawlingathome_server_ray.pipelines import docs_queries as dq
@@ -142,6 +174,13 @@ def main() -> None:
     timed("doc_lm_score", lambda: cq.q_doc_lm_score(sf_dir))
     timed("embedding_kmeans", lambda: dq.q_embedding_kmeans(
         sf_dir, n_clusters=16))
+    from crawlingathome_server_ray.pipelines import training_queries as tq
+    timed("seq_pack", lambda: tq.q_seq_pack(sf_dir))
+    timed("doc_line_dedup", lambda: tq.q_doc_line_dedup(sf_dir))
+    # IVF cells sized to the corpus (~3k vectors/cell): within-cell pair
+    # finding is O(cell²) work, so fixed n_clusters stops scaling past ~50k
+    timed("semantic_dedup", lambda: tq.q_semantic_dedup(
+        sf_dir, threshold=0.99, n_clusters=max(16, n_docs // 3000)))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)

@@ -143,6 +143,52 @@ def test_semantic_dedup_drops_planted_duplicates(ray_session, tmp_path):
     assert dropped == set(dup_of), dropped
 
 
+def test_seq_pack_random_multiline_corpus(ray_session, tmp_path):
+    """Seeded random corpus with newlines, tabs, edge whitespace, empty
+    docs: Ray packing ≡ the scalar twin (token order, block cuts,
+    checksums) — whitespace of every kind is a separator on both sides."""
+    rng = np.random.default_rng(11)
+    words = [f"t{i}" for i in range(50)]
+    seps = np.array([" ", "\n", "\t", "  ", " \n"], dtype=object)
+    texts = []
+    for _ in range(200):
+        n = int(rng.integers(0, 30))
+        toks = rng.choice(words, size=n)
+        ss = rng.choice(seps, size=max(n, 1))
+        t = "".join(w + s for w, s in zip(toks, ss))
+        texts.append(t if rng.integers(2) else t.strip())
+    d = _write_docs(tmp_path, texts)
+    expect = _scalar_pack(dict(enumerate(texts)), tq.SEQPACK_LEN)
+    got = to_pandas(tq.q_seq_pack(d)).set_index("block_id").sort_index()
+    assert sorted(got.index) == sorted(expect)
+    for bid, e in expect.items():
+        row = got.loc[bid]
+        assert (row.n_tokens, row.n_docs, row.first_doc, row.last_doc,
+                row.tok_hash_mod) == (e["n"], len(e["docs"]),
+                                      min(e["docs"]), max(e["docs"]),
+                                      e["hs"])
+
+
+def test_line_dedup_random_corpus(ray_session, tmp_path):
+    """Seeded random multi-line corpus with a small line alphabet (heavy
+    cross-doc duplication): Ray ≡ scalar first-wins on every doc."""
+    rng = np.random.default_rng(23)
+    alphabet = [f"line {i}" for i in range(30)] + [""]
+    texts = ["\n".join(rng.choice(alphabet,
+                                  size=int(rng.integers(1, 8))))
+             for _ in range(300)]
+    d = _write_docs(tmp_path, texts)
+    out = to_pandas(tq.q_doc_line_dedup(d)).set_index("doc_id").sort_index()
+    seen = set()
+    for i, s in enumerate(texts):
+        lines = s.split("\n")
+        kept = [ln for ln in lines if ln not in seen and not seen.add(ln)]
+        row = out.loc[i]
+        assert row.n_lines == len(lines), i
+        assert row.n_kept == len(kept), i
+        assert row.text_kept == "\n".join(kept), i
+
+
 def test_semantic_dedup_keeps_distinct_corpus(ray_session):
     """The synthetic sf embeddings carry no ≥0.95-cosine duplicates, so
     semantic dedup is the identity there (and covers the no-pairs path)."""
