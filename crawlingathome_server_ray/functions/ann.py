@@ -233,9 +233,11 @@ def cosine_near_dup_ivf(sf_dir: str, threshold: float = 0.4,
     vectors/cell) since pair work is O(cell²). A pair is found iff the two
     vectors share ≥1 of their assigned cells — multi-assignment is the
     standard recall lever (recall vs the exact variant measured in
-    tests). Cross-cell dedup of pairs happens in a bucketed groupby;
-    the driver sees only final pairs."""
-    import pandas as pd
+    tests). Cross-cell dedup of pairs happens in a bucketed groupby.
+
+    Returns the deduped (a_id, b_id) pair DATASET — never driver-resident
+    here, so callers can count/threshold it distributed first and collect
+    only when it is known driver-sized (:func:`pairs_to_sorted_pandas`)."""
     cent = np.load(
         __import__("os").path.join(
             ivf_build(sf_dir, n_clusters, seed, batch_size=batch_size),
@@ -288,18 +290,26 @@ def cosine_near_dup_ivf(sf_dir: str, threshold: float = 0.4,
         return pd.DataFrame({"a_id": lo, "b_id": hi,
                              "pair_bucket": (lo % 16).astype(np.int32)})
 
-    pairs = (ds.map_batches(assign, batch_format="pyarrow",
-                            batch_size=batch_size)
-             .groupby("cell").map_groups(cell_pairs, batch_format="pandas")
-             .groupby("pair_bucket")
-             .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
-                         [["a_id", "b_id"]],
-                         batch_format="pandas"))
-    out = pairs.to_pandas()
+    return (ds.map_batches(assign, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .groupby("cell").map_groups(cell_pairs, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
+                        [["a_id", "b_id"]],
+                        batch_format="pandas"))
+
+
+def pairs_to_sorted_pandas(pairs) -> pd.DataFrame:
+    """Collect an (a_id, b_id) pair Dataset to a deterministic sorted
+    DataFrame. Call ONLY when the pair set is known driver-sized (toy
+    scale, or below a counted threshold) — the scale paths keep the
+    Dataset distributed (see q_semantic_dedup)."""
+    out = pairs if isinstance(pairs, pd.DataFrame) else pairs.to_pandas()
     if out.empty:
         return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
                              "b_id": pd.array([], dtype="int64")})
     return (out.astype({"a_id": "int64", "b_id": "int64"})
+            [["a_id", "b_id"]]
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 

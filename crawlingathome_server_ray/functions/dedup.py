@@ -148,19 +148,21 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return acc
 
 
-def minhash_batch(df: pd.DataFrame, n_perm: int = 64, k: int = 3,
-                  bands: int = 16) -> pd.DataFrame:
-    """map_batches body: exploded (band_id, band_hash, doc_id) rows for the
-    LSH groupby — 16 B/row through the shuffle, texts never move."""
-    ids = df["doc_id"].to_numpy(dtype=np.int64)
-    sig = minhash_signatures(df["text"].to_numpy(dtype=object),
+def minhash_batch(batch: pa.Table, n_perm: int = 64, k: int = 3,
+                  bands: int = 16) -> pa.Table:
+    """map_batches body (zero-copy Arrow in, Arrow out): exploded
+    (band_id, band_hash, doc_id) rows for the LSH groupby — 16 B/row
+    through the shuffle, texts never move."""
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    sig = minhash_signatures(np.asarray(batch.column("text"), dtype=object),
                              n_perm=n_perm, k=k)
     bh = band_hashes(sig, bands)
     n = len(ids)
-    return pd.DataFrame({
-        "band_id": np.tile(np.arange(bands, dtype=np.int32), n),
-        "band_hash": bh.reshape(-1),
-        "doc_id": np.repeat(ids, bands),
+    return pa.table({
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n),
+                            pa.int32()),
+        "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+        "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
     })
 
 
@@ -299,10 +301,13 @@ def simhash(text: str) -> np.uint64:
     return simhash_many([text])[0]
 
 
-def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
-                         "simhash": simhash_many(
-                             df["text"].to_numpy(dtype=object))})
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) sketch rows — zero-copy Arrow in, Arrow out."""
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "simhash": pa.array(
+                         simhash_many(np.asarray(batch.column("text"),
+                                                 dtype=object)),
+                         pa.uint64())})
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -185,12 +185,13 @@ def fingerprint_many(texts, budget_elems: int = 1_000_000,
     return out
 
 
-def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({"doc_id": batch["doc_id"],
-                         "fingerprint": pd.array(
-                             fingerprint_many(
-                                 batch["text"].to_numpy(dtype=object)),
-                             dtype="uint64")})
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint) — zero-copy Arrow in, Arrow out."""
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "fingerprint": pa.array(
+                         fingerprint_many(
+                             np.asarray(batch.column("text"), dtype=object)),
+                         pa.uint64())})
 
 
 # ------------------------------------------------ char-trigram LM scoring
@@ -201,16 +202,32 @@ CHUNK_CHARS = 1 << 21  # ~2M codepoints per kernel chunk (see below)
 
 # per-worker reusable scratch (the kernel runs inside long-lived Ray
 # workers; reusing pages avoids first-touch page faults, which on this
-# VM's degraded-memory phases run 10-100× slower than warm writes)
-_SCRATCH: dict[str, np.ndarray] = {}
+# VM's degraded-memory phases run 10-100× slower than warm writes).
+# Keyed by (name, dtype): a caller re-requesting a name with a different
+# dtype gets its own buffer, never a wrongly-typed view.
+_SCRATCH: dict[tuple[str, np.dtype], np.ndarray] = {}
 
 
 def _scratch(name: str, n: int, dtype) -> np.ndarray:
-    buf = _SCRATCH.get(name)
+    key = (name, np.dtype(dtype))
+    buf = _SCRATCH.get(key)
     if buf is None or len(buf) < n:
-        buf = np.empty(max(n, CHUNK_CHARS + 2), dtype)
-        _SCRATCH[name] = buf
+        buf = np.empty(max(n, CHUNK_CHARS + 2), key[1])
+        _SCRATCH[key] = buf
     return buf[:n]
+
+
+def gather_into_scratch(values: np.ndarray, idx: np.ndarray,
+                        name: str = "gather") -> np.ndarray:
+    """Public scratch-backed gather: ``values[idx]`` written into a
+    persistent per-worker buffer instead of a fresh allocation (a fresh
+    ~100 MB gather per batch is all first-touch pages on this VM — see
+    the module scratch note). The returned view is valid until the next
+    same-(name, dtype) scratch call on this worker; callers must consume
+    it before requesting the same buffer again."""
+    out = _scratch(name, len(idx), values.dtype)
+    np.take(values, idx, out=out)
+    return out
 
 
 def _splitmix_inplace(a: np.ndarray, tmp: np.ndarray) -> None:

@@ -549,15 +549,14 @@ def q_doc_lm_score(sf_dir: str):
     ref = ray.put(logp)
 
     def score(b: pa.Table) -> pa.Table:
-        from ..functions.text import _scratch
+        from ..functions.text import gather_into_scratch
         texts = np.asarray(b.column("text"), dtype=object)
         h, offs = char_trigram_buckets(texts)
         lp = ray.get(ref)
         # gather into per-worker scratch: a fresh lp[h] is ~100 MB/batch
         # of first-touch pages (see char_trigram_buckets on why that is
         # the dominant cost on this VM)
-        g = _scratch("lmg", len(h), np.float64)
-        np.take(lp, h, out=g)
+        g = gather_into_scratch(lp, h, "lmg")
         s = segment_sums(g, offs)
         t = np.diff(offs)
         bits = np.where(t > 0, -s / np.maximum(t, 1), 0.0)

@@ -249,7 +249,7 @@ FROM c"""
 def q_doc_fingerprint(sf_dir: str):
     """Rolling polynomial hash per doc (rows-only: not SQL-expressible)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pandas", batch_size=BATCH)
+        fingerprint_batch, batch_format="pyarrow", batch_size=BATCH)
 
 
 # ---------------------------------------------------------------- minhash LSH
@@ -309,13 +309,13 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
     # sketch batches are smaller than the generic BATCH so a small corpus
     # still fans out across the pool (sketching is the compute-heavy stage)
     bands_ds = ds.map_batches(
-        lambda df: minhash_batch(df, n_perm=n_perm, bands=bands),
-        batch_format="pandas", batch_size=1024)
+        lambda b: minhash_batch(b, n_perm=n_perm, bands=bands),
+        batch_format="pyarrow", batch_size=1024)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = _lsh_bucket(df["band_id"].to_numpy(),
-                                   df["band_hash"].to_numpy())
-        return df
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = _lsh_bucket(np.asarray(b.column("band_id")),
+                         np.asarray(b.column("band_hash")))
+        return b.append_column("bucket", pa.array(bk, pa.int32()))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = pairs_from_groups(
@@ -328,7 +328,7 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
         return pd.DataFrame({"a_id": a, "b_id": b,
                              "pair_bucket": _pair_bucket(a, b)})
 
-    cand = (bands_ds.map_batches(add_bucket, batch_format="pandas",
+    cand = (bands_ds.map_batches(add_bucket, batch_format="pyarrow",
                                  batch_size=65536)
             .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
             .groupby("pair_bucket")
@@ -398,20 +398,22 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
     same map_groups — no second pass) → distributed cross-chunk pair dedup.
     The driver receives only the final verified pairs."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sh_ds = ds.map_batches(simhash_batch, batch_format="pandas",
+    sh_ds = ds.map_batches(simhash_batch, batch_format="pyarrow",
                            batch_size=1024)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy(np.int64)
-        hs = df["simhash"].to_numpy(np.uint64)
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        hs = np.asarray(b.column("simhash"), dtype=np.uint64)
         chunks = simhash_chunks(hs, 4)  # (n, 4)
         n = len(ids)
         ci = np.tile(np.arange(4, dtype=np.int32), n)
         cv = chunks.reshape(-1)
-        return pd.DataFrame({
-            "bucket": _lsh_bucket(ci, cv),
-            "chunk_idx": ci, "chunk_val": cv,
-            "doc_id": np.repeat(ids, 4), "simhash": np.repeat(hs, 4)})
+        return pa.table({
+            "bucket": pa.array(_lsh_bucket(ci, cv), pa.int32()),
+            "chunk_idx": pa.array(ci, pa.int32()),
+            "chunk_val": pa.array(cv, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "simhash": pa.array(np.repeat(hs, 4), pa.uint64())})
 
     def emit_verified(g: pd.DataFrame) -> pd.DataFrame:
         a, b, ha, hb = pairs_from_groups(
@@ -423,7 +425,7 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
         return pd.DataFrame({"a_id": a[ok], "b_id": b[ok],
                              "pair_bucket": _pair_bucket(a[ok], b[ok])})
 
-    pairs = (sh_ds.map_batches(explode, batch_format="pandas",
+    pairs = (sh_ds.map_batches(explode, batch_format="pyarrow",
                                batch_size=65536)
              .groupby("bucket").map_groups(emit_verified,
                                            batch_format="pandas")
@@ -935,9 +937,12 @@ def q_cosine_near_dup(sf_dir: str):
 
 def q_cosine_near_dup_ivf(sf_dir: str):
     """IVF-cell all-pairs variant (rows-only; recall vs the exact
-    broadcast variant asserted in pytest)."""
-    return ann.cosine_near_dup_ivf(sf_dir, threshold=COSINE_DUP_THRESHOLD,
-                                   limit_ids=1000)
+    broadcast variant asserted in pytest). The pair set here is bounded
+    by limit_ids=1000, so collecting to a sorted frame is driver-safe;
+    the unbounded scale path (q_semantic_dedup) keeps the Dataset."""
+    return ann.pairs_to_sorted_pandas(
+        ann.cosine_near_dup_ivf(sf_dir, threshold=COSINE_DUP_THRESHOLD,
+                                limit_ids=1000))
 
 
 SQL_COSINE_NEAR_DUP = f"""

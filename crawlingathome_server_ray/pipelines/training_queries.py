@@ -320,26 +320,45 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.95,
 
     Composition of proven scale paths: ``ann.cosine_near_dup_ivf``
     (multi-assigned IVF cells → within-cell matmul pairs → bucketed pair
-    dedup; no all-pairs) → components (driver union-find below
-    ``distributed_pairs_threshold`` verified pairs, distributed
-    min-label propagation above — same switch as ``q_minhash_dedup``) →
-    the drop-set (strictly smaller than the dup groups, which are ≪
-    corpus) broadcast once via ray.put → one streaming is_in pass flags
-    every vector. The corpus is never driver-resident.
+    dedup; no all-pairs) returns the pair set as a DATASET — the branch
+    switch counts it distributed (``pairs.count()``) and only the
+    below-threshold branch ever collects pairs to the driver (same
+    discipline as ``q_minhash_dedup``). Above the threshold, clustering
+    is distributed min-label propagation and the drop-set is projected
+    out of the label Dataset (dropped nodes are strictly fewer than
+    pair endpoints, which are ≪ corpus) before the one driver-side
+    gather that feeds the broadcast. One streaming is_in pass then
+    flags every vector. The corpus is never driver-resident; the pair
+    set is driver-resident only when counted small.
     """
     from ..functions.ann import cosine_near_dup_ivf
     from ..functions.dedup import connected_components, distributed_components
 
     pairs = cosine_near_dup_ivf(sf_dir, threshold=threshold,
-                                n_clusters=n_clusters, n_assign=n_assign)
-    if len(pairs) > distributed_pairs_threshold:
+                                n_clusters=n_clusters,
+                                n_assign=n_assign).materialize()
+    n_pairs = pairs.count()
+    if n_pairs > distributed_pairs_threshold:
+        # scale branch: pairs never collect on the driver. repartition
+        # squeezes out schema-less empty blocks from the bucketed
+        # map_groups before the label joins (see distributed_components)
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
         labels = distributed_components(
-            ray.data.from_pandas(pairs)).to_pandas()
-        drop = labels.loc[labels["node"] != labels["label"],
-                          "node"].to_numpy(np.int64)
+            pairs.repartition(max(2, min(16, cpus // 2))))
+
+        def dropped_nodes(b: pa.Table) -> pa.Table:
+            keep = pc.not_equal(b.column("node"), b.column("label"))
+            return pa.table({"node": pc.filter(b.column("node"), keep)})
+
+        drop = (labels.map_batches(dropped_nodes, batch_format="pyarrow")
+                .to_pandas()["node"].to_numpy(np.int64))
+    elif n_pairs == 0:
+        drop = np.zeros(0, np.int64)
     else:
-        comp = connected_components(list(zip(pairs["a_id"].astype(int),
-                                             pairs["b_id"].astype(int))))
+        vp = pairs.to_pandas()  # counted ≤ threshold: driver-sized
+        comp = connected_components(list(zip(vp["a_id"].astype(int),
+                                             vp["b_id"].astype(int))))
         drop = np.fromiter((n for n, c in comp.items() if n != c),
                            dtype=np.int64, count=sum(
                                1 for n, c in comp.items() if n != c))

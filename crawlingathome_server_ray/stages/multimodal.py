@@ -235,37 +235,47 @@ class FrameSampleStage:
         self.window_ms = window_ms
         self.stride = stride
 
-    def _real_frames(self, ident, payload: bytes, out_u, out_f, out_r):
+    def _real_frames(self, payload: bytes) -> tuple[np.ndarray, np.ndarray]:
+        """(frame_ms, frame_rms) arrays for one clip's sampled windows —
+        arange/reshape only, no per-window Python loop."""
         rate, samples = decode_wav(payload)
         win = max(1, rate * self.window_ms // 1000)
         n_win = len(samples) // win
         if n_win == 0:
-            return
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
         x = (samples[:n_win * win].astype(np.float64) / 32768.0
              ).reshape(n_win, win)
         rms = np.sqrt((x * x).mean(axis=1))
-        for j in range(0, n_win, self.stride):
-            out_u.append(ident)
-            out_f.append(j * self.window_ms)
-            out_r.append(float(rms[j]))
+        j = np.arange(0, n_win, self.stride, dtype=np.int64)
+        return j * self.window_ms, rms[j]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        idents = batch.column(self.id_col).to_pylist()
-        out_u, out_f, out_r = [], [], []
-        for u, p in zip(idents, col.to_pylist()):
+        # per-clip loop is inherent (variable-size payload decode); the
+        # per-window emission inside each clip is vectorized, and ids are
+        # replicated with one Arrow take over the whole batch
+        src_row, f_parts, r_parts = [], [], []
+        for i, p in enumerate(col.to_pylist()):
             if self.real:
-                if sniff_format(p) == "wav":
-                    self._real_frames(u, p, out_u, out_f, out_r)
+                if sniff_format(p) != "wav":
+                    continue
+                f, r = self._real_frames(p)
             else:
                 h = hashlib.md5(p).digest()
-                for i in range(self.n_frames):
-                    out_u.append(u)
-                    out_f.append(int.from_bytes(h[i:i + 2], "big") % 10_000)
-                    out_r.append(0.0)
-        id_type = batch.schema.field(self.id_col).type
-        return pa.table({self.id_col: pa.array(out_u, id_type),
-                         "frame_ms": pa.array(out_f, pa.int32()),
-                         "frame_rms": pa.array(out_r, pa.float64())})
+                f = np.array([int.from_bytes(h[i2:i2 + 2], "big") % 10_000
+                              for i2 in range(self.n_frames)], np.int64)
+                r = np.zeros(self.n_frames, np.float64)
+            if len(f):
+                src_row.append(np.full(len(f), i, np.int64))
+                f_parts.append(f)
+                r_parts.append(r)
+        idx = (np.concatenate(src_row) if src_row
+               else np.zeros(0, np.int64))
+        ids = batch.column(self.id_col).take(pa.array(idx, pa.int64()))
+        fm = np.concatenate(f_parts) if f_parts else np.zeros(0, np.int64)
+        fr = np.concatenate(r_parts) if r_parts else np.zeros(0, np.float64)
+        return pa.table({self.id_col: ids,
+                         "frame_ms": pa.array(fm.astype(np.int32), pa.int32()),
+                         "frame_rms": pa.array(fr, pa.float64())})

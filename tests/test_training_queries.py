@@ -189,6 +189,27 @@ def test_line_dedup_random_corpus(ray_session, tmp_path):
         assert row.text_kept == "\n".join(kept), i
 
 
+def test_semantic_dedup_distributed_branch_equals_driver(ray_session,
+                                                         tmp_path):
+    """Forcing the distributed clustering branch (threshold 0) end-to-end
+    — pairs stay a Dataset through the count switch, clustering is
+    min-label propagation — must flag exactly the same vectors as the
+    driver union-find branch."""
+    rng = np.random.default_rng(13)
+    m = rng.normal(size=(40, 16))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    for b, a in {5: 0, 21: 0, 33: 2}.items():  # one 3-cluster + one pair
+        m[b] = m[a]
+    d = _write_embeddings(tmp_path, m)
+    drv = (to_pandas(tq.q_semantic_dedup(d, threshold=0.999, n_clusters=4))
+           .sort_values("vec_id").reset_index(drop=True))
+    dist = (to_pandas(tq.q_semantic_dedup(d, threshold=0.999, n_clusters=4,
+                                          distributed_pairs_threshold=0))
+            .sort_values("vec_id").reset_index(drop=True))
+    assert drv.equals(dist)
+    assert set(drv.loc[~drv.is_kept, "vec_id"]) == {5, 21, 33}
+
+
 def test_semantic_dedup_keeps_distinct_corpus(ray_session):
     """The synthetic sf embeddings carry no ≥0.95-cosine duplicates, so
     semantic dedup is the identity there (and covers the no-pairs path)."""
