@@ -102,6 +102,11 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
     if sort:
         ds = ds.sort("partition_id")
     ds.write_parquet(staging, partition_cols=["partition_id"])
+    # persist per-partition row counts ONCE, here (distributed footer
+    # scan), so the wave loop never does driver-side staging I/O: a wave
+    # at hex2 spans thousands of files and a per-wave footer scan is
+    # Amdahl serial fraction on the critical path (round-3 verdict #2)
+    _write_row_counts(staging, _partition_ids(staging))
     Path(done).touch()
     return staging
 
@@ -161,27 +166,65 @@ def _make_cpu_stage(shards, hex_chars: int):
     return stage
 
 
-def _staging_row_counts(staging: str, pids: list[int]) -> dict[int, int]:
-    """urls_seen per partition from parquet footer metadata — no data read.
-    Footers are fetched in a thread pool: this is serial driver-side IO on
-    the wave's critical path, and a wave can span thousands of files."""
-    import pyarrow.parquet as pq
-    from concurrent.futures import ThreadPoolExecutor
+ROWCOUNTS_FILE = "_ROWCOUNTS.json"
+_ROWCOUNT_CACHE: dict[tuple[str, int], dict[int, int]] = {}
 
-    def one(p: int) -> tuple[int, int]:
-        return p, sum(
+
+def _scan_row_counts(staging: str, pids: list[int]) -> dict[int, int]:
+    """urls_seen per partition from parquet footer metadata — no data
+    read, and no driver I/O: partitions fan out over Ray tasks (one task
+    per chunk of partitions). Runs once at bootstrap."""
+    @ray.remote(num_cpus=0.5)
+    def scan(chunk: list[int]) -> dict[int, int]:
+        import pyarrow.parquet as pq
+        return {p: sum(
             pq.ParquetFile(str(f)).metadata.num_rows
             for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
+            for p in chunk}
 
-    with ThreadPoolExecutor(max_workers=16) as ex:
-        return dict(ex.map(one, pids))
+    chunks = [pids[i:i + 32] for i in range(0, len(pids), 32)]
+    out: dict[int, int] = {}
+    for d in ray.get([scan.remote(c) for c in chunks]):
+        out.update(d)
+    return out
+
+
+def _write_row_counts(staging: str, pids: list[int]) -> None:
+    """Atomically persist the staging row-count manifest (part of the
+    bootstrap artifact, alongside ``_STAGED``)."""
+    import json
+    path = Path(staging, ROWCOUNTS_FILE)
+    tmp = Path(staging, ROWCOUNTS_FILE + ".tmp")
+    tmp.write_text(json.dumps(_scan_row_counts(staging, pids)))
+    os.replace(tmp, path)
+
+
+def _load_row_counts(staging: str) -> dict[int, int]:
+    """Per-partition staging row counts from the bootstrap manifest —
+    O(1) driver work per wave. Staging dirs written before the manifest
+    existed (older checkpoints resumed across versions) get it computed
+    and persisted once. Cache key includes the manifest mtime so a
+    regenerated staging dir under the same path never serves stale
+    counts."""
+    import json
+    path = Path(staging, ROWCOUNTS_FILE)
+    if not path.exists():
+        _write_row_counts(staging, _partition_ids(staging))
+    key = (staging, path.stat().st_mtime_ns)
+    cached = _ROWCOUNT_CACHE.get(key)
+    if cached is None:
+        cached = {int(k): int(v) for k, v in json.loads(
+            path.read_text()).items()}
+        _ROWCOUNT_CACHE[key] = cached
+    return cached
 
 
 def _wave_counters(surv_all, staging: str, wave: list[int]) -> dict[int, dict]:
     """Derive the per-partition counter dict for one wave from data:
     one (partition_id, allowed) partial-count pass over the materialized
-    wave output + staging footer row counts. ≙ the reference's Redis
-    counters (SURVEY.md A6), but recomputable instead of incremented."""
+    wave output + the bootstrap-persisted staging row-count manifest
+    (no per-wave staging I/O). ≙ the reference's Redis counters
+    (SURVEY.md A6), but recomputable instead of incremented."""
     def part_counts(b: pa.Table) -> pa.Table:
         pids = np.asarray(b.column("partition_id"), dtype=np.int64)
         ok = np.asarray(b.column("allowed"))
@@ -198,7 +241,7 @@ def _wave_counters(surv_all, staging: str, wave: list[int]) -> dict[int, dict]:
            .to_pandas())
     agg = (cdf.groupby("partition_id")[["n_new", "n_ok"]].sum()
            if len(cdf) else {})
-    seen_by_pid = _staging_row_counts(staging, wave)
+    seen_by_pid = _load_row_counts(staging)
     out = {}
     for pid in wave:
         n_new = int(agg["n_new"].get(pid, 0)) if len(cdf) else 0
