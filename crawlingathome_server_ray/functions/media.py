@@ -1,18 +1,21 @@
-"""Real multimodal codecs and feature kernels, pure numpy.
+"""Real multimodal codecs and feature kernels, pure numpy + stdlib.
 
-The container has no image/audio libraries, but two real, widely-used
-formats are decodable with numpy alone: **BMP** (Windows bitmap,
-24-bit uncompressed BI_RGB — the baseline format every image tool
-emits) and **WAV** (RIFF PCM16 — the baseline audio format). This
-module implements honest encoders/decoders for both plus vectorized
-feature kernels, so the multimodal stages in ``stages/multimodal.py``
-produce REAL features for these formats; only genuinely compressed
-formats (JPEG/PNG/MP3/…) remain declared stubs.
+The container has no image/audio libraries, but three real, widely-used
+formats are decodable with numpy + the stdlib alone: **BMP** (Windows
+bitmap, 24-bit uncompressed BI_RGB), **PNG** (8-bit truecolor, zlib
+inflate + all five spec filter types — the compressed baseline every
+web image tool emits), and **WAV** (RIFF PCM16 — the baseline audio
+format). This module implements honest encoders/decoders for all three
+plus vectorized feature kernels, so the multimodal stages in
+``stages/multimodal.py`` produce REAL features for these formats; only
+formats whose codecs genuinely need an external library (JPEG's DCT
+pipeline, MP3) remain declared stubs.
 
 Decoders parse the actual on-disk format (magic, header fields, row
-padding, chunk walk) and reject what they can't handle loudly — they
-are not toy readers of a private layout. Round-trip equality is
-property-tested in tests/test_media.py.
+padding, chunk walk, CRCs, filter reconstruction) and reject what they
+can't handle loudly — they are not toy readers of a private layout.
+Round-trip equality is property-tested in tests/test_media.py,
+including a per-pixel scalar-twin PNG decoder straight from the spec.
 
 Reference analog: none — the reference coordinator never touches
 payload bytes (media ran on GPU workers, reference README.md:5-11);
@@ -20,6 +23,9 @@ this is a north-rule training-data-pipeline capability.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 
@@ -100,6 +106,145 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     yi = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.int64)
     xi = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.int64)
     return pixels[yi][:, xi]
+
+
+# --------------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (spec §6.6), componentwise over int32 arrays."""
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pcv = np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pcv), a, np.where(pb <= pcv, b, c))
+
+
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2, no interlace). Per-row filter selection uses the
+    spec's minimum-sum-of-absolute-differences heuristic over all five
+    filter types, fully vectorized (one pass per filter over the whole
+    image), so round-trip tests exercise every decoder filter path."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8 RGB")
+    h, w, _ = pixels.shape
+    raw = pixels.reshape(h, w * 3).astype(np.int32)
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 3:] = raw[:-1, :-3]
+    cand = np.stack([
+        raw,
+        (raw - left) % 256,
+        (raw - up) % 256,
+        (raw - ((left + up) >> 1)) % 256,
+        (raw - _paeth_pred(left, up, upleft)) % 256,
+    ]).astype(np.uint8)                                    # (5, h, w*3)
+    # minimum sum of |signed byte| per row — the reference heuristic
+    mag = np.minimum(cand.astype(np.int32), 256 - cand.astype(np.int32))
+    best = np.argmin(mag.sum(axis=2), axis=0)              # (h,)
+    stream = np.empty((h, w * 3 + 1), np.uint8)
+    stream[:, 0] = best.astype(np.uint8)
+    stream[:, 1:] = cand[best, np.arange(h)]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(stream.tobytes(), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (color type 2), non-interlaced PNG to an
+    (h, w, 3) uint8 RGB array: real chunk walk with CRC verification,
+    multi-IDAT concatenation, zlib inflate, and all five PNG filter
+    types unfiltered. Sub is a modular per-byte-lane cumsum and Up/None
+    are whole-row vector ops; Average/Paeth recover pixel-sequentially
+    within a row (inherent data dependency in the format), still 3-lane
+    vectorized per pixel. Other bit depths / color types / Adam7 are
+    rejected loudly (palette/gray/alpha would need a fuller codec)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length:
+                                             pos + 12 + length])
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB",
+                                                              ihdr)
+    if depth != 8 or color != 2:
+        raise NotImplementedError(
+            f"only 8-bit truecolor PNG supported (got depth={depth}, "
+            f"color_type={color}); palette/gray/alpha need a fuller codec")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    stride = w * 3
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:      # Sub: x[i] = f[i] + x[i-3] ⇒ per-lane cumsum
+            rec = (cur.reshape(w, 3).cumsum(axis=0) % 256).reshape(-1)
+        elif ft == 2:      # Up
+            rec = (cur + prev) % 256
+        elif ft == 3:      # Average — left-sequential per pixel
+            rec = np.empty(stride, np.int32)
+            rw = rec.reshape(w, 3)
+            cl = cur.reshape(w, 3)
+            pu = prev.reshape(w, 3)
+            lft = np.zeros(3, np.int32)
+            for x in range(w):
+                lft = (cl[x] + ((lft + pu[x]) >> 1)) % 256
+                rw[x] = lft
+        elif ft == 4:      # Paeth — left-sequential per pixel
+            rec = np.empty(stride, np.int32)
+            rw = rec.reshape(w, 3)
+            cl = cur.reshape(w, 3)
+            pu = prev.reshape(w, 3)
+            pul = np.zeros((w, 3), np.int32)
+            pul[1:] = pu[:-1]
+            lft = np.zeros(3, np.int32)
+            for x in range(w):
+                lft = (cl[x] + _paeth_pred(lft, pu[x], pul[x])) % 256
+                rw[x] = lft
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, 3)
 
 
 # --------------------------------------------------------------------- WAV

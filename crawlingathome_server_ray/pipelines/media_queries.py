@@ -1,11 +1,13 @@
 """Multimodal queries over the synthetic media table (REAL decode).
 
-The media table (sources/media_synth.py) carries real BMP and WAV bytes
-in an opaque ``binary`` column; these queries run the honest numpy
-format parsers (functions/media.py) inside actor-pool ``map_batches``
-stages — the multimodal shape from the brief with no fake left in the
-hot path. Rows-only in the driver contract (DuckDB cannot decode BMP/
-WAV), with round-trip and golden coverage in tests/test_media.py.
+The media table (sources/media_synth.py) carries real BMP, PNG (zlib +
+filter reconstruction) and WAV bytes in an opaque ``binary`` column;
+these queries run the honest numpy format parsers (functions/media.py)
+inside actor-pool ``map_batches`` stages — the multimodal shape from
+the brief with no fake left in the hot path, compressed format
+included. Rows-only in the driver contract (DuckDB cannot decode
+BMP/PNG/WAV), with round-trip and golden coverage in
+tests/test_media.py.
 
 Scale notes: payloads dominate block size, so both queries read only
 (ids, payload) columns, use small ``batch_size``, and drop the payload
@@ -63,7 +65,7 @@ def q_media_frames(sf_dir: str):
 
 def q_media_thumbnails(sf_dir: str):
     """Decode → nearest-neighbor resize → re-encode each image payload
-    as a 16×16 BMP thumbnail (null thumb for non-image rows):
+    as a 16×16 source-format thumbnail (null thumb for non-image rows):
     (media_id, kind, thumb binary, thumb_h, thumb_w) — the media
     transform shape (payload in, smaller payload out)."""
     return media_ds(sf_dir).map_batches(

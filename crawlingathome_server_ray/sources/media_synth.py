@@ -1,10 +1,12 @@
-"""Deterministic synthetic media table: real BMP images and WAV audio
-clips as opaque ``binary`` payloads with typed metadata.
+"""Deterministic synthetic media table: real BMP and PNG images and WAV
+audio clips as opaque ``binary`` payloads with typed metadata.
 
 Schema: (media_id: int64, kind: string 'image'|'audio', payload: binary)
-— the multimodal-column shape from the brief. Payloads are REAL encoded
-files (see functions/media.py), so the decode / feature-extract stages
-exercise honest format parsing, not a hash-based fake.
+— the multimodal-column shape from the brief. Even rows are images
+(alternating BMP and zlib-compressed PNG), odd rows are audio. Payloads
+are REAL encoded files (see functions/media.py), so the decode /
+feature-extract stages exercise honest format parsing — including PNG
+filter reconstruction — not a hash-based fake.
 
 Cached under ``/tmp/graft_media/<sf>/`` with the same atomic
 build-then-rename protocol as sources/synth.ensure_frontier. Row count
@@ -23,10 +25,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.media import encode_bmp, encode_wav
+from ..functions.media import encode_bmp, encode_png, encode_wav
 from .synth import SF_SHAPE, sf_name
 
-_MARKER = "_DONE_v1"
+_MARKER = "_DONE_v2"  # v2: image rows alternate BMP and PNG
 
 
 def media_rows_for(sf_dir: str) -> int:
@@ -34,17 +36,19 @@ def media_rows_for(sf_dir: str) -> int:
     return max(500, min(6000, n_pages // 100))
 
 
-def _make_image(rng: np.random.Generator) -> bytes:
+def _make_image(rng: np.random.Generator, fmt: str = "bmp") -> bytes:
     w = int(rng.integers(8, 49))
     h = int(rng.integers(8, 49))
     # deterministic structure (two-axis gradient) + seeded texture noise,
-    # distinct per channel so channel means differ measurably
+    # distinct per channel so channel means differ measurably (and so the
+    # PNG filter heuristic picks different filters per row)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
     img = np.stack([base,
                     (base + rng.integers(0, 64)) % 256,
                     rng.integers(0, 256, size=(h, w))], axis=2)
-    return encode_bmp(img.astype(np.uint8))
+    enc = encode_png if fmt == "png" else encode_bmp
+    return enc(img.astype(np.uint8))
 
 
 def _make_audio(rng: np.random.Generator, rate: int = 8000) -> bytes:
@@ -66,7 +70,8 @@ def generate_media(seed: int, n_rows: int) -> pa.Table:
         # payload i is identical regardless of table size or build order
         if i % 2 == 0:
             kinds.append("image")
-            payloads.append(_make_image(rng))
+            payloads.append(_make_image(rng,
+                                        "bmp" if i % 4 == 0 else "png"))
         else:
             kinds.append("audio")
             payloads.append(_make_audio(rng))

@@ -4,19 +4,20 @@
 
 Two tiers:
 
-- **Real kernels** for the uncompressed baseline formats the sandbox CAN
-  decode with numpy alone — BMP images and WAV PCM16 audio (see
-  functions/media.py for the honest format parsers). ``MediaStatsStage``
-  / ``MediaFeatureStage`` / ``FrameSampleStage(real=True)`` sniff magic
-  bytes and produce real metadata, real 16-dim features, and real
-  windowed audio frames. The per-row loop inside each batch is inherent
-  to variable-size payload decode (every media engine's shape); each
-  decode is itself vectorized numpy over the payload bytes.
-- **Declared stubs** for compressed formats (JPEG/PNG/MP3/…):
-  ``DecodeStage(fake=False)`` handles BMP/WAV via the real parsers and
-  raises ``NotImplementedError`` naming the missing library for the
-  rest; ``fake=True`` keeps the deterministic hash-fake so plumbing
-  tests run format-independent.
+- **Real kernels** for the baseline formats the sandbox CAN decode with
+  numpy + stdlib alone — BMP and PNG (zlib) images and WAV PCM16 audio
+  (see functions/media.py for the honest format parsers).
+  ``MediaStatsStage`` / ``MediaFeatureStage`` / ``ThumbnailStage`` /
+  ``FrameSampleStage(real=True)`` sniff magic bytes and produce real
+  metadata, real 16-dim features, format-preserving thumbnails, and
+  real windowed audio frames. The per-row loop inside each batch is
+  inherent to variable-size payload decode (every media engine's
+  shape); each decode is itself vectorized numpy over the payload bytes.
+- **Declared stubs** for formats whose codecs need an external library
+  (JPEG's DCT pipeline, MP3): ``DecodeStage(fake=False)`` handles
+  BMP/PNG/WAV via the real parsers and raises ``NotImplementedError``
+  naming the missing library for the rest; ``fake=True`` keeps the
+  deterministic hash-fake so plumbing tests run format-independent.
 
 Sizing note: binary payloads dominate block size; callers should use small
 ``batch_size`` (≤1024 for images) and bound ``concurrency × payload × batch``
@@ -31,8 +32,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.media import (audio_features, audio_stats, decode_bmp,
-                               decode_wav, encode_bmp, image_features,
-                               resize_nearest, sniff_format)
+                               decode_png, decode_wav, encode_bmp,
+                               encode_png, image_features, resize_nearest,
+                               sniff_format)
+
+_IMAGE_CODECS = {"bmp": (decode_bmp, encode_bmp),
+                 "png": (decode_png, encode_png)}
 
 FEATURE_DIM = 16
 
@@ -66,16 +71,16 @@ class DecodeStage:
 
     def _decode_real(self, payload: bytes):
         fmt = sniff_format(payload)
-        if fmt == "bmp":
-            img = decode_bmp(payload)
-            return img.shape[1], img.shape[0], "bmp"
+        if fmt in _IMAGE_CODECS:
+            img = _IMAGE_CODECS[fmt][0](payload)
+            return img.shape[1], img.shape[0], fmt
         if fmt == "wav":
             rate, samples = decode_wav(payload)
             return len(samples), 1, "wav"          # (n_samples, 1 channel)
         raise NotImplementedError(
             f"decode for format {fmt!r} needs PIL/libvips/ffmpeg — not "
-            "present in this container; BMP/WAV decode natively, or run "
-            "with fake=True for the format-independent stub")
+            "present in this container; BMP/PNG/WAV decode natively, or "
+            "run with fake=True for the format-independent stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
@@ -130,8 +135,8 @@ class MediaStatsStage:
         for p in col.to_pylist():
             f = sniff_format(p)
             fmt.append(f)
-            if f == "bmp":
-                img = decode_bmp(p)
+            if f in _IMAGE_CODECS:
+                img = _IMAGE_CODECS[f][0](p)
                 w.append(img.shape[1]); h.append(img.shape[0])
                 dur.append(None); rms.append(None); dom.append(None)
             elif f == "wav":
@@ -154,7 +159,7 @@ class MediaStatsStage:
 
 class MediaFeatureStage:
     """REAL actor-pool stage: payload → 16-dim float32 feature vector —
-    4×4 mean-pooled grayscale thumbnail for BMP, 16-band log spectral
+    4×4 mean-pooled grayscale thumbnail for BMP/PNG, 16-band log spectral
     energy for WAV (functions/media.py kernels). Undecodable payloads get
     a zero vector (kept, so the row count is stable for joins)."""
 
@@ -168,8 +173,8 @@ class MediaFeatureStage:
         feats = np.zeros((len(col), FEATURE_DIM), np.float32)
         for i, p in enumerate(col.to_pylist()):
             f = sniff_format(p)
-            if f == "bmp":
-                feats[i] = image_features(decode_bmp(p))
+            if f in _IMAGE_CODECS:
+                feats[i] = image_features(_IMAGE_CODECS[f][0](p))
             elif f == "wav":
                 feats[i] = audio_features(*decode_wav(p))
         arr = pa.FixedSizeListArray.from_arrays(
@@ -179,12 +184,12 @@ class MediaFeatureStage:
 
 class ThumbnailStage:
     """REAL actor-pool stage: image payload → re-encoded thumbnail —
-    decode BMP, nearest-neighbor resize to (out_h, out_w)
-    (``functions/media.resize_nearest``), re-encode as BMP. The classic
-    media *transform* stage (decode → resize → encode), complementing
-    the metadata/feature *extract* stages above. Non-image payloads get
-    a null thumb (kept: row count stays stable for joins, and dropping
-    undecodables is the caller's policy)."""
+    decode BMP/PNG, nearest-neighbor resize to (out_h, out_w)
+    (``functions/media.resize_nearest``), re-encode in the SOURCE
+    format. The classic media *transform* stage (decode → resize →
+    encode), complementing the metadata/feature *extract* stages above.
+    Non-image payloads get a null thumb (kept: row count stays stable
+    for joins, and dropping undecodables is the caller's policy)."""
 
     def __init__(self, column: str = "payload", out_h: int = 16,
                  out_w: int = 16, id_cols: tuple = ("media_id", "kind")):
@@ -199,9 +204,11 @@ class ThumbnailStage:
             col = col.combine_chunks()
         thumbs: list[bytes | None] = []
         for p in col.to_pylist():
-            if sniff_format(p) == "bmp":
-                thumbs.append(encode_bmp(
-                    resize_nearest(decode_bmp(p), self.out_h, self.out_w)))
+            codec = _IMAGE_CODECS.get(sniff_format(p))
+            if codec is not None:
+                dec, enc = codec
+                thumbs.append(enc(
+                    resize_nearest(dec(p), self.out_h, self.out_w)))
             else:
                 thumbs.append(None)
         cols = {c: batch.column(c) for c in self.id_cols}

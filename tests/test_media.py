@@ -7,11 +7,63 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from crawlingathome_server_ray.functions.media import (
-    FEATURE_DIM, audio_features, audio_stats, decode_bmp, decode_wav,
-    encode_bmp, encode_wav, image_features, resize_nearest, sniff_format)
+    FEATURE_DIM, _paeth_pred, _png_chunk, _PNG_SIG, audio_features,
+    audio_stats, decode_bmp, decode_png, decode_wav, encode_bmp,
+    encode_png, encode_wav, image_features, resize_nearest, sniff_format)
 from crawlingathome_server_ray.sources.media_synth import generate_media
 
 SF = "/root/testdata/sf0.001"
+
+
+def _decode_png_scalar(payload: bytes) -> np.ndarray:
+    """Per-pixel reference PNG decoder straight from the spec (twin for
+    the vectorized decoder; deliberately naive)."""
+    import struct
+    import zlib
+    assert payload[:8] == _PNG_SIG
+    pos = 8
+    ihdr, idat = None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    w, h, *_ = struct.unpack(">IIBBBBB", ihdr)
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, stride), np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc_:
+            return a
+        return b if pb <= pc_ else c
+
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        for i in range(stride):
+            x = line[i]
+            a = out[y, i - 3] if i >= 3 else 0
+            b = out[y - 1, i] if y >= 1 else 0
+            c = out[y - 1, i - 3] if (y >= 1 and i >= 3) else 0
+            if ft == 1:
+                x += a
+            elif ft == 2:
+                x += b
+            elif ft == 3:
+                x += (a + b) // 2
+            elif ft == 4:
+                x += paeth(a, b, c)
+            out[y, i] = x % 256
+    return out.astype(np.uint8).reshape(h, w, 3)
 
 
 # ------------------------------------------------------------------ codecs
@@ -30,6 +82,92 @@ def test_wav_roundtrip(n, seed):
     samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
     rate, out = decode_wav(encode_wav(samples, 8000))
     assert rate == 8000 and np.array_equal(out, samples)
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1),
+       st.integers(0, 3))
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_and_scalar_twin(w, h, seed, kind):
+    """encode→decode is the identity AND the vectorized decoder equals a
+    per-pixel spec-literal twin, over image classes that steer the
+    filter heuristic to different filters (noise→None/Paeth,
+    gradient→Sub/Paeth, constant/stripes→Up)."""
+    rng = np.random.default_rng(seed)
+    if kind == 0:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    elif kind == 1:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 5) % 256, (yy * 3) % 256,
+                        (xx + yy) % 256], axis=2).astype(np.uint8)
+    elif kind == 2:
+        img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+    else:
+        img = np.tile(rng.integers(0, 256, size=(1, w, 3)),
+                      (h, 1, 1)).astype(np.uint8)
+    p = encode_png(img)
+    assert sniff_format(p) == "png"
+    assert np.array_equal(decode_png(p), img)
+    assert np.array_equal(_decode_png_scalar(p), img)
+
+
+def test_png_every_filter_type_and_multi_idat():
+    """Hand-built streams force each of the 5 PNG filter types through
+    the decoder; a split-IDAT payload must concatenate (spec-legal)."""
+    import struct
+    import zlib
+    rng = np.random.default_rng(3)
+    h, w = 7, 11
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = img.reshape(h, w * 3).astype(np.int32)
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, 3:] = raw[:-1, :-3]
+    filtered = [raw, (raw - left) % 256, (raw - up) % 256,
+                (raw - ((left + up) >> 1)) % 256,
+                (raw - _paeth_pred(left, up, ul)) % 256]
+    for ft, f in enumerate(filtered):
+        stream = np.empty((h, w * 3 + 1), np.uint8)
+        stream[:, 0] = ft
+        stream[:, 1:] = f.astype(np.uint8)
+        payload = (_PNG_SIG
+                   + _png_chunk(b"IHDR",
+                                struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                   + _png_chunk(b"IDAT", zlib.compress(stream.tobytes()))
+                   + _png_chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(payload), img), ft
+        assert np.array_equal(_decode_png_scalar(payload), img), ft
+    # multi-IDAT: split the compressed stream across two chunks
+    p = encode_png(img)
+    (ilen,) = struct.unpack(">I", p[33:37])
+    idat_body = p[41:41 + ilen]
+    split = (p[:33] + _png_chunk(b"IDAT", idat_body[:7])
+             + _png_chunk(b"IDAT", idat_body[7:]) + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(split), img)
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+    img = np.zeros((2, 2, 3), np.uint8)
+    p = encode_png(img)
+    # corrupt a CRC byte → loud failure, not garbage pixels
+    bad = bytearray(p)
+    bad[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(b"not a png" * 8)
+    # grayscale (color type 0) and 16-bit are declared unsupported
+    for depth, color in [(8, 0), (16, 2), (8, 3), (8, 6)]:
+        hdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+        payload = (_PNG_SIG + _png_chunk(b"IHDR", hdr)
+                   + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                   + _png_chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_png(payload)
 
 
 def test_bmp_row_padding_and_orientation():
@@ -109,7 +247,10 @@ def test_media_table_deterministic_and_real():
     assert kinds[::2] == ["image"] * 12 and kinds[1::2] == ["audio"] * 12
     for i, k in enumerate(kinds):
         p = t1.column("payload")[i].as_py()
-        assert sniff_format(p) == ("bmp" if k == "image" else "wav")
+        if k == "audio":
+            assert sniff_format(p) == "wav"
+        else:  # image rows alternate raw BMP and compressed PNG
+            assert sniff_format(p) == ("bmp" if i % 4 == 0 else "png")
 
 
 def test_media_queries_end_to_end(ray_session):
@@ -122,7 +263,9 @@ def test_media_queries_end_to_end(ray_session):
     assert len(stats) == n
     img = stats[stats["kind"] == "image"]
     aud = stats[stats["kind"] == "audio"]
-    assert (img["format"] == "bmp").all() and (aud["format"] == "wav").all()
+    assert img["format"].isin(["bmp", "png"]).all()
+    assert set(img["format"]) == {"bmp", "png"}  # both codecs exercised
+    assert (aud["format"] == "wav").all()
     assert img["width"].between(8, 48).all() and img["height"].between(8, 48).all()
     assert aud["duration_ms"].between(100, 500).all()
     assert (aud["rms"] > 0.1).all()
@@ -155,15 +298,19 @@ def test_thumbnail_stage_and_query(ray_session):
         q_media_thumbnails)
     from crawlingathome_server_ray.stages.multimodal import ThumbnailStage
 
-    # stage-level: thumb decodes back to exactly resize_nearest(original)
+    # stage-level: thumb decodes back to exactly resize_nearest(original),
+    # re-encoded in the SOURCE format (BMP stays BMP, PNG stays PNG)
     t = generate_media(7, 8)
     out = ThumbnailStage(column="payload", out_h=4, out_w=4)(t)
     for i in range(8):
         thumb = out.column("thumb")[i].as_py()
         if t.column("kind")[i].as_py() == "image":
-            orig = decode_bmp(t.column("payload")[i].as_py())
-            assert np.array_equal(decode_bmp(thumb),
-                                  resize_nearest(orig, 4, 4))
+            src = t.column("payload")[i].as_py()
+            fmt = sniff_format(src)
+            dec = decode_bmp if fmt == "bmp" else decode_png
+            assert sniff_format(thumb) == fmt
+            assert np.array_equal(dec(thumb),
+                                  resize_nearest(dec(src), 4, 4))
         else:
             assert thumb is None
 
@@ -173,9 +320,11 @@ def test_thumbnail_stage_and_query(ray_session):
     aud = th[th["kind"] == "audio"]
     assert img["thumb"].notna().all() and aud["thumb"].isna().all()
     assert (img["thumb_h"] == 16).all() and (img["thumb_w"] == 16).all()
-    sample = img["thumb"].iloc[0]
-    assert sniff_format(sample) == "bmp"
-    assert decode_bmp(sample).shape == (16, 16, 3)
+    fmts = {sniff_format(b) for b in img["thumb"].head(8)}
+    assert fmts == {"bmp", "png"}
+    for b in img["thumb"].head(4):
+        dec = decode_bmp if sniff_format(b) == "bmp" else decode_png
+        assert dec(b).shape == (16, 16, 3)
 
 
 def test_decode_stage_real_path(ray_session):
@@ -185,7 +334,8 @@ def test_decode_stage_real_path(ray_session):
     out = stage(t)
     w = out.column("width").to_pylist()
     fmt = out.column("format").to_pylist()
-    assert fmt[::2] == ["bmp"] * 4 and fmt[1::2] == ["wav"] * 4
+    assert fmt[::2] == ["bmp", "png", "bmp", "png"]
+    assert fmt[1::2] == ["wav"] * 4
     assert all(8 <= x <= 48 for x in w[::2])
     with pytest.raises(NotImplementedError):
         stage._decode_real(b"\xff\xd8\xffjpeg-bytes")
