@@ -60,11 +60,12 @@ def _tok_hash_mod(tokens: np.ndarray) -> np.ndarray:
 # ------------------------------------------------------------- sequence packing
 SEQPACK_LEN = 128          # tokens per training block
 SEQPACK_RANGE_DOCS = 64    # docs per offset range (one driver row per range)
+SEQPACK_MAX_RANGES = 1 << 18   # driver offset-table bound: O(1) in corpus
 SEQPACK_BUCKETS = 64
 
 
 def q_seq_pack(sf_dir: str, block_len: int = SEQPACK_LEN,
-               range_docs: int = SEQPACK_RANGE_DOCS):
+               range_docs: int | None = None):
     """Sequence packing — the step that turns a curated corpus into
     fixed-length LM training examples: concatenate all documents' tokens
     in doc_id order and cut the stream into ``block_len``-token blocks
@@ -78,9 +79,15 @@ def q_seq_pack(sf_dir: str, block_len: int = SEQPACK_LEN,
 
     1. per-batch partial (range_id → token count) → groupby(range_id)
        sum: ONE slim row per ``range_docs`` docs reaches the driver,
-       which computes exclusive base offsets per range (O(n_ranges),
-       bounded by the range_docs knob at any corpus size) and
-       broadcasts them via ray.put;
+       which computes exclusive base offsets per range and broadcasts
+       them via ray.put. ``range_docs`` defaults to
+       max(SEQPACK_RANGE_DOCS, ⌈n_docs / SEQPACK_MAX_RANGES⌉) — the
+       driver table is bounded at ~2^18 rows (a few MB) at ANY corpus
+       size (10^10 docs ⇒ ~38k docs/range, still comfortable
+       map_groups granularity), and the packed output is invariant to
+       range_docs (global token positions are exact regardless of the
+       range partitioning — asserted by the oracle and the scalar
+       twin);
     2. groupby(range_id) over the docs (texts move once, keyed by the
        contiguous doc range — a near-no-op repartition when the input
        is doc_id-sorted): within a range, sort by doc_id, cumsum local
@@ -95,6 +102,15 @@ def q_seq_pack(sf_dir: str, block_len: int = SEQPACK_LEN,
     (range totals, block contributions) — no all-to-all over tokens.
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
+    if range_docs is None:
+        # parquet-metadata count — no data read. Assumes dense-ish
+        # doc_ids (the documents table's contract: ids 0..n-1); with a
+        # very sparse id space the distinct-range count could exceed
+        # n_docs/range_docs — pass range_docs ≈ max_id/SEQPACK_MAX_RANGES
+        # explicitly in that case
+        n_docs = ds.count()
+        range_docs = max(SEQPACK_RANGE_DOCS,
+                         -(-n_docs // SEQPACK_MAX_RANGES))
 
     def range_partial(b: pa.Table) -> pa.Table:
         ids = np.asarray(b.column("doc_id"), dtype=np.int64)

@@ -55,7 +55,32 @@ def worker_name(seed: int, worker_index: int, words: list[str] | None = None) ->
     return f"{w[a]}-{w[b]}-{c}"
 
 
-_DEFAULT_WORDS = (
-    "amber basalt cedar delta ember fjord garnet harbor iris juniper krill "
-    "lumen maple nectar onyx pollen quartz raven sable tundra umber vesper "
-    "willow xenon yonder zephyr").split()
+def _make_word_pool(n: int = 1024) -> list[str]:
+    """Deterministic pronounceable word pool: 26 curated seed words plus
+    CV(C)-syllable products, all distinct, stable across runs/machines.
+    Narrows the gap to the reference's 178,187-word names file
+    (reference name.py:4-5) without shipping a wordlist — the name
+    space is len(pool)² × 1000 ≈ 10^9 combinations at n=1024."""
+    pool = (
+        "amber basalt cedar delta ember fjord garnet harbor iris juniper "
+        "krill lumen maple nectar onyx pollen quartz raven sable tundra "
+        "umber vesper willow xenon yonder zephyr").split()
+    onsets = ("b br c cr d dr f fl g gl h j k l m n p pr r s st t tr v w "
+              "z").split()
+    vowels = "a e i o u ai ea ou".split()
+    codas = ["", "n", "r", "s", "t", "l", "m", "x"]
+    seen = set(pool)
+    # round-robin over codas/vowels so early slices of the pool still mix
+    for c in codas:
+        for v in vowels:
+            for o in onsets:
+                w = o + v + c
+                if w not in seen:
+                    seen.add(w)
+                    pool.append(w)
+                if len(pool) >= n:
+                    return pool
+    return pool
+
+
+_DEFAULT_WORDS = _make_word_pool()
