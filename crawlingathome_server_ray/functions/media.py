@@ -320,6 +320,48 @@ def audio_stats(rate: int, samples: np.ndarray) -> tuple[float, float, float]:
     return dur, rms, dom
 
 
+# -------------------------------------------------- conv featurizer (image)
+# fixed 3×3 kernel bank: brightness, Sobel-x, Sobel-y, Laplacian — a tiny
+# fixed-weight conv layer, the honest deterministic stand-in for a learned
+# image encoder (the reference ran CLIP on GPU workers only, README.md:5-11)
+_CONV_KERNELS = np.array([
+    [[0, 0, 0], [0, 1, 0], [0, 0, 0]],
+    [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]],
+    [[-1, -2, -1], [0, 0, 0], [1, 2, 1]],
+    [[0, 1, 0], [1, -4, 1], [0, 1, 0]],
+], np.float32)
+
+
+def conv_image_features(pixels: np.ndarray) -> np.ndarray:
+    """16-dim deterministic conv descriptor: the 4 fixed kernels above
+    convolved over the grayscale image (edge-padded; conv as 9 shifted
+    vector adds), |response| mean-pooled over a 2×2 spatial grid →
+    4 kernels × 4 cells. Unlike :func:`image_features` (a raw thumbnail),
+    this is the model-inference shape: fixed weights, conv, nonlinearity,
+    spatial pooling."""
+    gray = (pixels.astype(np.float32)
+            @ np.array([0.299, 0.587, 0.114], np.float32)) / 255.0
+    h, w = gray.shape
+    g = np.pad(gray, 1, mode="edge")
+    ys = np.linspace(0, h, 3).astype(np.int64)
+    xs = np.linspace(0, w, 3).astype(np.int64)
+    feats = np.empty(16, np.float32)
+    i = 0
+    for ker in _CONV_KERNELS:
+        acc = np.zeros((h, w), np.float32)
+        for dy in range(3):
+            for dx in range(3):
+                if ker[dy, dx]:
+                    acc += ker[dy, dx] * g[dy:dy + h, dx:dx + w]
+        np.abs(acc, out=acc)
+        for a in range(2):
+            for b in range(2):
+                cell = acc[ys[a]:ys[a + 1], xs[b]:xs[b + 1]]
+                feats[i] = cell.mean() if cell.size else 0.0
+                i += 1
+    return feats
+
+
 # -------------------------------------------------------------------- sniff
 def sniff_format(payload: bytes) -> str:
     """Magic-byte format sniffing (the real thing, not an extension map)."""

@@ -24,8 +24,9 @@ import os
 import ray.data
 
 from ..sources.media_synth import ensure_media
-from ..stages.multimodal import (FrameSampleStage, MediaFeatureStage,
-                                 MediaStatsStage, ThumbnailStage)
+from ..stages.multimodal import (FeatureExtractStage, FrameSampleStage,
+                                 MediaFeatureStage, MediaStatsStage,
+                                 ThumbnailStage)
 
 MEDIA_BATCH = 256  # payloads are KBs; keep batch × concurrency in heap
 
@@ -73,9 +74,24 @@ def q_media_thumbnails(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_media_encode(sf_dir: str):
+    """Model-inference-shaped encoding pass: payload → 16-dim vector via
+    the REAL deterministic encoder (fixed-weight conv bank + spatial
+    pooling for BMP/PNG, spectral bands for WAV) — the
+    ``FeatureExtractStage(fake=False)`` path, batched like model
+    inference: (media_id, kind, features list<float32>[16])."""
+    return media_ds(sf_dir).map_batches(
+        FeatureExtractStage,
+        fn_constructor_kwargs={"column": "payload", "fake": False},
+        batch_size=MEDIA_BATCH, concurrency=2,
+        batch_format="pyarrow").select_columns(
+        ["media_id", "kind", "features"])
+
+
 MEDIA_QUERIES = {
     "media_stats": q_media_stats,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_thumbnails": q_media_thumbnails,
+    "media_encode": q_media_encode,
 }

@@ -31,10 +31,10 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.media import (audio_features, audio_stats, decode_bmp,
-                               decode_png, decode_wav, encode_bmp,
-                               encode_png, image_features, resize_nearest,
-                               sniff_format)
+from ..functions.media import (audio_features, audio_stats,
+                               conv_image_features, decode_bmp, decode_png,
+                               decode_wav, encode_bmp, encode_png,
+                               image_features, resize_nearest, sniff_format)
 
 _IMAGE_CODECS = {"bmp": (decode_bmp, encode_bmp),
                  "png": (decode_png, encode_png)}
@@ -96,20 +96,35 @@ class DecodeStage:
 
 class FeatureExtractStage:
     """Actor-pool stage: binary column → fixed-dim float32 feature vector
-    (list<float> column), batched like a model-inference stage."""
+    (list<float> column), batched like a model-inference stage.
+
+    ``fake=False`` runs a REAL deterministic encoder per payload format:
+    a fixed-weight 3×3 conv bank with spatial pooling for BMP/PNG images
+    (``functions/media.conv_image_features`` — the honest sandbox
+    stand-in for a learned encoder; the reference ran CLIP on GPU
+    workers only) and 16-band log spectral energy for WAV. Undecodable
+    payloads get a zero vector (row count stays stable for joins).
+    ``fake=True`` keeps the hash-fake for format-independent plumbing
+    tests."""
 
     def __init__(self, column: str = "html", fake: bool = True):
         self.column = column
-        if not fake:
-            raise NotImplementedError(
-                "real feature extraction needs an image/audio model — stubbed "
-                "in this container")
+        self.fake = fake
+
+    def _real_features(self, payload: bytes) -> np.ndarray:
+        fmt = sniff_format(payload)
+        if fmt in _IMAGE_CODECS:
+            return conv_image_features(_IMAGE_CODECS[fmt][0](payload))
+        if fmt == "wav":
+            return audio_features(*decode_wav(payload))
+        return np.zeros(FEATURE_DIM, np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = _fake_features if self.fake else self._real_features
         col = batch.column(self.column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        feats = np.stack([_fake_features(v) for v in col.to_pylist()])
+        feats = np.stack([fn(v) for v in col.to_pylist()])
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), FEATURE_DIM)
         return batch.append_column("features", arr)

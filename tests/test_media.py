@@ -229,6 +229,56 @@ def test_audio_features_sine_peak():
     assert abs(dom - f0) < rate / 4000 + 1e-9  # one FFT bin
 
 
+def test_conv_image_features_semantics():
+    from crawlingathome_server_ray.functions.media import \
+        conv_image_features
+    # flat image: zero edge/Laplacian responses, brightness cells = level
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    f = conv_image_features(flat).reshape(4, 4)
+    assert np.allclose(f[0], 128 / 255.0, atol=1e-3)   # brightness bank
+    assert np.allclose(f[1:], 0.0, atol=1e-3)          # no edges anywhere
+    # vertical step edge: Sobel-x fires, Sobel-y stays ~0
+    step = np.zeros((16, 16, 3), np.uint8)
+    step[:, 8:] = 255
+    g = conv_image_features(step).reshape(4, 4)
+    assert g[1].mean() > 10 * max(g[2].mean(), 1e-6)
+    # deterministic
+    assert np.array_equal(conv_image_features(step),
+                          conv_image_features(step))
+
+
+def test_feature_extract_stage_real_path(ray_session):
+    from crawlingathome_server_ray.pipelines.media_queries import \
+        q_media_encode
+    from crawlingathome_server_ray.stages.multimodal import \
+        FeatureExtractStage
+    t = generate_media(7, 8)
+    out = FeatureExtractStage(column="payload", fake=False)(t)
+    feats = np.stack([np.asarray(v) for v in
+                      out.column("features").to_pylist()])
+    assert feats.shape == (8, FEATURE_DIM)
+    assert np.isfinite(feats).all()
+    assert (np.abs(feats).sum(axis=1) > 0).all()  # every payload decodable
+    # image rows carry conv responses of the decoded pixels exactly
+    from crawlingathome_server_ray.functions.media import (
+        conv_image_features, decode_bmp, decode_png)
+    src = t.column("payload")[0].as_py()
+    assert np.array_equal(feats[0], conv_image_features(decode_bmp(src)))
+    src2 = t.column("payload")[2].as_py()
+    assert np.array_equal(feats[2], conv_image_features(decode_png(src2)))
+    # unknown payloads → zero vector, row kept
+    import pyarrow as pa
+    junk = pa.table({"media_id": pa.array([0], pa.int64()),
+                     "payload": pa.array([b"mystery-bytes"], pa.binary())})
+    z = FeatureExtractStage(column="payload", fake=False)(junk)
+    assert np.allclose(np.asarray(z.column("features")[0].as_py()), 0.0)
+
+    # query-level: rows-only contract shape
+    enc = q_media_encode(SF).to_pandas()
+    assert set(enc.columns) == {"media_id", "kind", "features"}
+    assert all(len(v) == FEATURE_DIM for v in enc["features"].head(10))
+
+
 def test_resize_nearest_identity_and_downscale():
     img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     assert np.array_equal(resize_nearest(img, 8, 8), img)
