@@ -310,13 +310,18 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
                          pa.uint64())})
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a, b)
-    cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Vectorized 64-bit hamming distance: byte-LUT popcount over the
+    xor's uint8 view (8 gathers + one sum) instead of 64 shift/mask
+    passes."""
+    x = np.ascontiguousarray(np.bitwise_xor(a, b))
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (_POPCNT8[x.view(np.uint8)].reshape(len(x), 8)
+            .sum(axis=1).astype(np.int64))
 
 
 def simhash_chunks(h: np.ndarray, n_chunks: int = 4) -> np.ndarray:

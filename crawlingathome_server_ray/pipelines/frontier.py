@@ -79,10 +79,20 @@ def upload_store(seed: int, pid: int,
 
 
 def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
-    """Phase A: canonicalize + hash-partition the frontier once (resumable)."""
+    """Phase A: canonicalize + hash-partition the frontier once (resumable).
+
+    Crash-safe: the staging dataset is written into a ``.build`` sibling
+    and atomically renamed into place once complete (same protocol as
+    ``ann.ivf_build``) — a run killed mid-bootstrap can never leave a
+    half-written staging dir that a resume's second ``write_parquet``
+    would append duplicate rows next to. ``_STAGED`` (inside the dir,
+    created before the rename) remains the completion marker."""
     done = os.path.join(staging, "_STAGED")
     if os.path.exists(done):
         return staging
+    shutil.rmtree(staging, ignore_errors=True)   # pre-atomicity leftovers
+    tmp = staging + ".build"
+    shutil.rmtree(tmp, ignore_errors=True)
     pages = os.path.join(ensure_frontier(sf_dir, cfg.seed), "pages")
     # a single pages file reads as few blocks by default; force enough input
     # splits that canonicalize+write saturate the cluster
@@ -101,13 +111,14 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
             else cfg.staging_sort)
     if sort:
         ds = ds.sort("partition_id")
-    ds.write_parquet(staging, partition_cols=["partition_id"])
+    ds.write_parquet(tmp, partition_cols=["partition_id"])
     # persist per-partition row counts ONCE, here (distributed footer
     # scan), so the wave loop never does driver-side staging I/O: a wave
     # at hex2 spans thousands of files and a per-wave footer scan is
     # Amdahl serial fraction on the critical path (round-3 verdict #2)
-    _write_row_counts(staging, _partition_ids(staging))
-    Path(done).touch()
+    _write_row_counts(tmp, _partition_ids(tmp))
+    Path(tmp, "_STAGED").touch()
+    os.rename(tmp, staging)                      # atomic publish
     return staging
 
 

@@ -151,6 +151,44 @@ def test_dirty_crash_resume(ray_session):
     assert not (gdir / "garbage.parquet").exists()
 
 
+def test_crash_mid_bootstrap_no_duplicate_staging(ray_session):
+    """Crash DURING the bootstrap staging write: a resume must not
+    append a second copy of the frontier next to the partial one (the
+    pre-round-4 hazard: write_parquet into the same dir twice). The
+    staging build is atomic (write into .build, rename on completion),
+    so partial staging dirs are discarded and counters stay exact."""
+    import pathlib
+    cfg = PipelineConfig(checkpoint_dir="/tmp/graft_ckpt_bootcrash")
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    full = run_crawl(SF, cfg, resume=False)
+    full_totals = Manifest(full["out_root"]).totals()
+    staging = pathlib.Path(full["out_root"], "staging")
+    # simulate a crash mid-write: completed files but NO _STAGED marker
+    # (the pre-atomicity on-disk state) — resume must rebuild cleanly
+    crashed = staging.with_name("staging_crashed")
+    shutil.rmtree(crashed, ignore_errors=True)
+    shutil.copytree(staging, crashed)
+    (crashed / "_STAGED").unlink()
+    (crashed / "_ROWCOUNTS.json").unlink()
+    # drop one partition's files entirely to make the partial state real
+    victim = sorted(p for p in crashed.iterdir()
+                    if p.name.startswith("partition_id="))[0]
+    shutil.rmtree(victim)
+    shutil.rmtree(staging)
+    crashed.rename(staging)
+    # wipe manifests + the seen snapshot so every partition reprocesses
+    # over the (crashed) staging dir with a fresh seen set
+    shutil.rmtree(pathlib.Path(full["out_root"], "manifest"),
+                  ignore_errors=True)
+    snap = pathlib.Path(full["out_root"], "seen_snapshot.pkl")
+    if snap.exists():
+        snap.unlink()
+    resumed = run_crawl(SF, cfg, resume=True)
+    assert resumed["partitions_closed"] == full["partitions_closed"]
+    assert Manifest(resumed["out_root"]).totals() == full_totals, \
+        "resume after mid-bootstrap crash changed totals (duplicate rows?)"
+
+
 def test_reopen_then_resume_dedups_not_crashes(ray_session):
     """Admin-reopening a CLOSED partition and resuming must converge: the
     partition's URLs are still in the persistent seen set, so the re-crawl
