@@ -1,15 +1,15 @@
 """Real multimodal codecs and feature kernels, pure numpy + stdlib.
 
-The container has no image/audio libraries, but three real, widely-used
+The container has no image/audio libraries, but four real, widely-used
 formats are decodable with numpy + the stdlib alone: **BMP** (Windows
 bitmap, 24-bit uncompressed BI_RGB), **PNG** (8-bit truecolor, zlib
-inflate + all five spec filter types — the compressed baseline every
-web image tool emits), and **WAV** (RIFF PCM16 — the baseline audio
-format). This module implements honest encoders/decoders for all three
-plus vectorized feature kernels, so the multimodal stages in
-``stages/multimodal.py`` produce REAL features for these formats; only
-formats whose codecs genuinely need an external library (JPEG's DCT
-pipeline, MP3) remain declared stubs.
+inflate + all five spec filter types), **JPEG** (baseline sequential
+DCT + Huffman, 4:4:4 — see functions/jpeg.py, re-exported here), and
+**WAV** (RIFF PCM16 — the baseline audio format). This module
+implements honest encoders/decoders plus vectorized feature kernels, so
+the multimodal stages in ``stages/multimodal.py`` produce REAL features
+for these formats; only MP3 (whose codec genuinely needs an external
+library) remains a declared stub.
 
 Decoders parse the actual on-disk format (magic, header fields, row
 padding, chunk walk, CRCs, filter reconstruction) and reject what they
@@ -28,6 +28,8 @@ import struct
 import zlib
 
 import numpy as np
+
+from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec façade)
 
 FEATURE_DIM = 16  # shared by image and audio features (CLIP-ish shape)
 

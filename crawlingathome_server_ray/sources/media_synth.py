@@ -1,12 +1,14 @@
-"""Deterministic synthetic media table: real BMP and PNG images and WAV
-audio clips as opaque ``binary`` payloads with typed metadata.
+"""Deterministic synthetic media table: real BMP, PNG and baseline-JPEG
+images and WAV audio clips as opaque ``binary`` payloads with typed
+metadata.
 
 Schema: (media_id: int64, kind: string 'image'|'audio', payload: binary)
 — the multimodal-column shape from the brief. Even rows are images
-(alternating BMP and zlib-compressed PNG), odd rows are audio. Payloads
-are REAL encoded files (see functions/media.py), so the decode /
-feature-extract stages exercise honest format parsing — including PNG
-filter reconstruction — not a hash-based fake.
+(cycling BMP → zlib-compressed PNG → DCT+Huffman JPEG), odd rows are
+audio. Payloads are REAL encoded files (see functions/media.py and
+functions/jpeg.py), so the decode / feature-extract stages exercise
+honest format parsing — PNG filter reconstruction and JPEG entropy
+decode included — not a hash-based fake.
 
 Cached under ``/tmp/graft_media/<sf>/`` with the same atomic
 build-then-rename protocol as sources/synth.ensure_frontier. Row count
@@ -25,10 +27,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.media import encode_bmp, encode_png, encode_wav
+from ..functions.media import (encode_bmp, encode_jpeg, encode_png,
+                               encode_wav)
 from .synth import SF_SHAPE, sf_name
 
-_MARKER = "_DONE_v2"  # v2: image rows alternate BMP and PNG
+_MARKER = "_DONE_v3"  # v3: image rows cycle BMP / PNG / JPEG
+
+_IMAGE_ROTATION = ("bmp", "png", "jpeg")
 
 
 def media_rows_for(sf_dir: str) -> int:
@@ -47,7 +52,7 @@ def _make_image(rng: np.random.Generator, fmt: str = "bmp") -> bytes:
     img = np.stack([base,
                     (base + rng.integers(0, 64)) % 256,
                     rng.integers(0, 256, size=(h, w))], axis=2)
-    enc = encode_png if fmt == "png" else encode_bmp
+    enc = {"png": encode_png, "jpeg": encode_jpeg}.get(fmt, encode_bmp)
     return enc(img.astype(np.uint8))
 
 
@@ -70,8 +75,8 @@ def generate_media(seed: int, n_rows: int) -> pa.Table:
         # payload i is identical regardless of table size or build order
         if i % 2 == 0:
             kinds.append("image")
-            payloads.append(_make_image(rng,
-                                        "bmp" if i % 4 == 0 else "png"))
+            payloads.append(_make_image(
+                rng, _IMAGE_ROTATION[(i // 2) % 3]))
         else:
             kinds.append("audio")
             payloads.append(_make_audio(rng))
@@ -89,6 +94,16 @@ def ensure_media(sf_dir: str, seed: int = 42,
     done = os.path.join(out, _MARKER)
     if os.path.exists(done):
         return out
+    if os.path.isdir(out):
+        # stale cache from an older _MARKER version: retire it atomically
+        # (rename aside first so a concurrent reader never sees a partial
+        # table), then rebuild under the current version
+        stale = tempfile.mkdtemp(dir=root, prefix=".stale-")
+        try:
+            os.rename(out, os.path.join(stale, "old"))
+        except OSError:
+            pass  # someone else retired it first
+        shutil.rmtree(stale, ignore_errors=True)
     n_rows = media_rows_for(sf_dir)
     table = generate_media(seed, n_rows)
     Path(root).mkdir(parents=True, exist_ok=True)

@@ -5,8 +5,9 @@
 Two tiers:
 
 - **Real kernels** for the baseline formats the sandbox CAN decode with
-  numpy + stdlib alone — BMP and PNG (zlib) images and WAV PCM16 audio
-  (see functions/media.py for the honest format parsers).
+  numpy + stdlib alone — BMP, PNG (zlib) and baseline JPEG (DCT +
+  Huffman) images and WAV PCM16 audio (see functions/media.py and
+  functions/jpeg.py for the honest format parsers).
   ``MediaStatsStage`` / ``MediaFeatureStage`` / ``ThumbnailStage`` /
   ``FrameSampleStage(real=True)`` sniff magic bytes and produce real
   metadata, real 16-dim features, format-preserving thumbnails, and
@@ -14,10 +15,10 @@ Two tiers:
   inherent to variable-size payload decode (every media engine's
   shape); each decode is itself vectorized numpy over the payload bytes.
 - **Declared stubs** for formats whose codecs need an external library
-  (JPEG's DCT pipeline, MP3): ``DecodeStage(fake=False)`` handles
-  BMP/PNG/WAV via the real parsers and raises ``NotImplementedError``
-  naming the missing library for the rest; ``fake=True`` keeps the
-  deterministic hash-fake so plumbing tests run format-independent.
+  (MP3): ``DecodeStage(fake=False)`` handles BMP/PNG/JPEG/WAV via the
+  real parsers and raises ``NotImplementedError`` naming the missing
+  library for the rest; ``fake=True`` keeps the deterministic hash-fake
+  so plumbing tests run format-independent.
 
 Sizing note: binary payloads dominate block size; callers should use small
 ``batch_size`` (≤1024 for images) and bound ``concurrency × payload × batch``
@@ -32,12 +33,14 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.media import (audio_features, audio_stats,
-                               conv_image_features, decode_bmp, decode_png,
-                               decode_wav, encode_bmp, encode_png,
-                               image_features, resize_nearest, sniff_format)
+                               conv_image_features, decode_bmp, decode_jpeg,
+                               decode_png, decode_wav, encode_bmp,
+                               encode_jpeg, encode_png, image_features,
+                               resize_nearest, sniff_format)
 
 _IMAGE_CODECS = {"bmp": (decode_bmp, encode_bmp),
-                 "png": (decode_png, encode_png)}
+                 "png": (decode_png, encode_png),
+                 "jpeg": (decode_jpeg, encode_jpeg)}
 
 FEATURE_DIM = 16
 
@@ -79,8 +82,8 @@ class DecodeStage:
             return len(samples), 1, "wav"          # (n_samples, 1 channel)
         raise NotImplementedError(
             f"decode for format {fmt!r} needs PIL/libvips/ffmpeg — not "
-            "present in this container; BMP/PNG/WAV decode natively, or "
-            "run with fake=True for the format-independent stub")
+            "present in this container; BMP/PNG/JPEG/WAV decode natively, "
+            "or run with fake=True for the format-independent stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
@@ -99,7 +102,8 @@ class FeatureExtractStage:
     (list<float> column), batched like a model-inference stage.
 
     ``fake=False`` runs a REAL deterministic encoder per payload format:
-    a fixed-weight 3×3 conv bank with spatial pooling for BMP/PNG images
+    a fixed-weight 3×3 conv bank with spatial pooling for BMP/PNG/JPEG
+    images
     (``functions/media.conv_image_features`` — the honest sandbox
     stand-in for a learned encoder; the reference ran CLIP on GPU
     workers only) and 16-band log spectral energy for WAV. Undecodable

@@ -8,8 +8,12 @@ from hypothesis import strategies as st
 
 from crawlingathome_server_ray.functions.media import (
     FEATURE_DIM, _paeth_pred, _png_chunk, _PNG_SIG, audio_features,
-    audio_stats, decode_bmp, decode_png, decode_wav, encode_bmp,
-    encode_png, encode_wav, image_features, resize_nearest, sniff_format)
+    audio_stats, decode_bmp, decode_jpeg, decode_png, decode_wav,
+    encode_bmp, encode_png, encode_wav, image_features, resize_nearest,
+    sniff_format)
+
+_IMAGE_DECODERS = {"bmp": decode_bmp, "png": decode_png,
+                   "jpeg": decode_jpeg}
 from crawlingathome_server_ray.sources.media_synth import generate_media
 
 SF = "/root/testdata/sf0.001"
@@ -266,6 +270,9 @@ def test_feature_extract_stage_real_path(ray_session):
     assert np.array_equal(feats[0], conv_image_features(decode_bmp(src)))
     src2 = t.column("payload")[2].as_py()
     assert np.array_equal(feats[2], conv_image_features(decode_png(src2)))
+    src4 = t.column("payload")[4].as_py()
+    from crawlingathome_server_ray.functions.media import decode_jpeg
+    assert np.array_equal(feats[4], conv_image_features(decode_jpeg(src4)))
     # unknown payloads → zero vector, row kept
     import pyarrow as pa
     junk = pa.table({"media_id": pa.array([0], pa.int64()),
@@ -299,8 +306,8 @@ def test_media_table_deterministic_and_real():
         p = t1.column("payload")[i].as_py()
         if k == "audio":
             assert sniff_format(p) == "wav"
-        else:  # image rows alternate raw BMP and compressed PNG
-            assert sniff_format(p) == ("bmp" if i % 4 == 0 else "png")
+        else:  # image rows cycle raw BMP, compressed PNG, DCT JPEG
+            assert sniff_format(p) == ("bmp", "png", "jpeg")[(i // 2) % 3]
 
 
 def test_media_queries_end_to_end(ray_session):
@@ -313,8 +320,8 @@ def test_media_queries_end_to_end(ray_session):
     assert len(stats) == n
     img = stats[stats["kind"] == "image"]
     aud = stats[stats["kind"] == "audio"]
-    assert img["format"].isin(["bmp", "png"]).all()
-    assert set(img["format"]) == {"bmp", "png"}  # both codecs exercised
+    assert img["format"].isin(["bmp", "png", "jpeg"]).all()
+    assert set(img["format"]) == {"bmp", "png", "jpeg"}  # all codecs exercised
     assert (aud["format"] == "wav").all()
     assert img["width"].between(8, 48).all() and img["height"].between(8, 48).all()
     assert aud["duration_ms"].between(100, 500).all()
@@ -348,19 +355,25 @@ def test_thumbnail_stage_and_query(ray_session):
         q_media_thumbnails)
     from crawlingathome_server_ray.stages.multimodal import ThumbnailStage
 
-    # stage-level: thumb decodes back to exactly resize_nearest(original),
-    # re-encoded in the SOURCE format (BMP stays BMP, PNG stays PNG)
-    t = generate_media(7, 8)
+    # stage-level: thumb decodes back to resize_nearest(original) —
+    # exactly for the lossless formats, within the quantization error
+    # bound for JPEG — re-encoded in the SOURCE format
+    t = generate_media(7, 12)
     out = ThumbnailStage(column="payload", out_h=4, out_w=4)(t)
-    for i in range(8):
+    for i in range(12):
         thumb = out.column("thumb")[i].as_py()
         if t.column("kind")[i].as_py() == "image":
             src = t.column("payload")[i].as_py()
             fmt = sniff_format(src)
-            dec = decode_bmp if fmt == "bmp" else decode_png
+            dec = _IMAGE_DECODERS[fmt]
             assert sniff_format(thumb) == fmt
-            assert np.array_equal(dec(thumb),
-                                  resize_nearest(dec(src), 4, 4))
+            want = resize_nearest(dec(src), 4, 4)
+            got = dec(thumb)
+            if fmt == "jpeg":
+                assert got.shape == want.shape
+                assert np.abs(got.astype(int) - want.astype(int)).mean() < 16
+            else:
+                assert np.array_equal(got, want)
         else:
             assert thumb is None
 
@@ -371,10 +384,9 @@ def test_thumbnail_stage_and_query(ray_session):
     assert img["thumb"].notna().all() and aud["thumb"].isna().all()
     assert (img["thumb_h"] == 16).all() and (img["thumb_w"] == 16).all()
     fmts = {sniff_format(b) for b in img["thumb"].head(8)}
-    assert fmts == {"bmp", "png"}
-    for b in img["thumb"].head(4):
-        dec = decode_bmp if sniff_format(b) == "bmp" else decode_png
-        assert dec(b).shape == (16, 16, 3)
+    assert fmts == {"bmp", "png", "jpeg"}
+    for b in img["thumb"].head(6):
+        assert _IMAGE_DECODERS[sniff_format(b)](b).shape == (16, 16, 3)
 
 
 def test_decode_stage_real_path(ray_session):
@@ -384,8 +396,8 @@ def test_decode_stage_real_path(ray_session):
     out = stage(t)
     w = out.column("width").to_pylist()
     fmt = out.column("format").to_pylist()
-    assert fmt[::2] == ["bmp", "png", "bmp", "png"]
+    assert fmt[::2] == ["bmp", "png", "jpeg", "bmp"]
     assert fmt[1::2] == ["wav"] * 4
     assert all(8 <= x <= 48 for x in w[::2])
-    with pytest.raises(NotImplementedError):
-        stage._decode_real(b"\xff\xd8\xffjpeg-bytes")
+    with pytest.raises(NotImplementedError):  # MP3: the declared codec edge
+        stage._decode_real(b"\xff\xfb\x90\x00mp3-frame-sync-bytes")
