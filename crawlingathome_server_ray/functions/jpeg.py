@@ -29,7 +29,9 @@ the compressed-image gap in the brief's multimodal ask.
 
 from __future__ import annotations
 
+import re
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -142,11 +144,33 @@ def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int
     return codes
 
 
+@lru_cache(maxsize=64)
+def _huffman_lut(bits: tuple, vals: tuple) -> tuple[bytes, bytes]:
+    """16-bit-peek decode LUT (the classic libjpeg structure): index the
+    next 16 bits of the stream, read (symbol, code length) in one lookup.
+    Each code of length L owns a 2^(16-L) slice. len==0 marks an invalid
+    code. Stored as ``bytes`` — CPython's fastest constant-time indexed
+    read — and cached per table content, so identical DHT segments
+    across payloads (the common case in a crawl) build the table once."""
+    sym = np.zeros(1 << 16, np.uint8)
+    ln = np.zeros(1 << 16, np.uint8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            sym[start:start + (1 << (16 - length))] = vals[k]
+            ln[start:start + (1 << (16 - length))] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym.tobytes(), ln.tobytes()
+
+
 def _huffman_decode_table(bits: list[int],
-                          vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value, for the bit-serial decoder."""
-    return {(ln, code): v
-            for v, (code, ln) in _huffman_codes(bits, vals).items()}
+                          vals: list[int]) -> tuple[bytes, bytes]:
+    """Decoder-side table for a DHT segment (the peek LUT)."""
+    return _huffman_lut(tuple(bits), tuple(vals))
 
 
 def _mag_bits(v: int) -> tuple[int, int]:
@@ -193,36 +217,64 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first bit reader over unstuffed scan bytes."""
+    """MSB-first bit reader over unstuffed scan bytes: a small integer
+    accumulator refilled a byte at a time, with 16-bit peeks against the
+    Huffman LUT. Peeks past the real end see virtual zero padding (legal
+    — the final byte's 1-padding is peeked, never consumed); CONSUMING
+    past the end raises, so truncated streams fail loudly instead of
+    decoding padding as data.
+
+    This is the readable reference twin, kept for the bitstream
+    round-trip tests; the decode hot path is the same algorithm inlined
+    with local-variable state in :func:`_entropy_decode`."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8)).tolist()
-        self.pos = 0
+        self.data = data
+        self.nbits = 8 * len(data)
+        self.bitpos = 0                        # consumed bits
+        self.bytepos = 0
+        self.acc = 0                           # low self.n bits are valid
+        self.n = 0
 
-    def read(self, n: int) -> int:
-        b = self.bits
-        p = self.pos
-        if p + n > len(b):
+    def _fill(self, need: int) -> None:
+        data = self.data
+        bp = self.bytepos
+        while self.n < need:
+            if bp < len(data):
+                self.acc = (self.acc << 8) | data[bp]
+                bp += 1
+            else:
+                self.acc <<= 8                 # virtual padding: peek only
+            self.n += 8
+        self.bytepos = bp
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._fill(k)
+        self.bitpos += k
+        if self.bitpos > self.nbits:
             raise ValueError("truncated JPEG entropy-coded segment")
-        v = 0
-        for i in range(n):
-            v = (v << 1) | b[p + i]
-        self.pos = p + n
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        b = self.bits
-        p = self.pos
-        code = 0
-        for ln in range(1, 17):
-            if p + ln > len(b):
-                raise ValueError("truncated JPEG entropy-coded segment")
-            code = (code << 1) | b[p + ln - 1]
-            v = table.get((ln, code))
-            if v is not None:
-                self.pos = p + ln
-                return v
-        raise ValueError("invalid JPEG Huffman code")
+    def huff(self, table: tuple[np.ndarray, np.ndarray]) -> int:
+        sym, ln = table
+        if self.n < 16:
+            self._fill(16)
+        peek = (self.acc >> (self.n - 16)) & 0xFFFF
+        length = int(ln[peek])
+        if length == 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.bitpos += length
+        if self.bitpos > self.nbits:
+            raise ValueError("truncated JPEG entropy-coded segment")
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return int(sym[peek])
 
 
 # ---------------------------------------------------------------- encoder
@@ -350,54 +402,121 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 # ---------------------------------------------------------------- decoder
-def _decode_block(r: _BitReader, pred: int, dc_tbl: dict,
-                  ac_tbl: dict) -> tuple[np.ndarray, int]:
-    """Entropy-decode one block -> (zigzag int32[64], new DC predictor)."""
-    zz = np.zeros(64, np.int32)
-    size = r.huff(dc_tbl)
-    dc = pred + _extend(r.read(size), size)
-    zz[0] = dc
-    k = 1
-    while k < 64:
-        rs = r.huff(ac_tbl)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:                      # ZRL
-                k += 16
-                continue
-            break                              # EOB
-        k += run
-        if k > 63:
-            raise ValueError("JPEG AC run past end of block")
-        zz[k] = _extend(r.read(size), size)
-        k += 1
-    return zz, dc
+def _entropy_decode(data: bytes, tables: list, zz: np.ndarray,
+                    mcu0: int, mcu1: int, preds: list[int]) -> None:
+    """Entropy-decode MCUs [mcu0, mcu1) of one restart segment into
+    ``zz[ci, mcu]`` (zigzag int32 blocks), updating ``preds`` in place.
+
+    One flat loop with the bit accumulator and both LUTs in locals —
+    Huffman decode is inherently bit-serial (each symbol's length gates
+    the next symbol's position), so this per-symbol loop is the honest
+    minimum; everything around it (dequantize, IDCT, color) is
+    vectorized over all blocks at once. Peeks past the real end see
+    virtual zero padding (the final byte's 1-padding is peeked, never
+    consumed); consuming past the end raises, so truncated streams fail
+    loudly instead of decoding padding as data."""
+    acc = 0           # bit accumulator; low `navail` bits are valid
+    navail = 0
+    bitpos = 0        # consumed bits (vs nbits: truncation check)
+    bytepos = 0
+    nd = len(data)
+    nbits = 8 * nd
+    for mcu in range(mcu0, mcu1):
+        for ci, (dc_sym, dc_len, ac_sym, ac_len) in enumerate(tables):
+            blk = zz[ci, mcu]
+            # ---- DC: huff(size) + receive/extend
+            while navail < 16:
+                if bytepos < nd:
+                    acc = (acc << 8) | data[bytepos]
+                    bytepos += 1
+                else:
+                    acc <<= 8
+                navail += 8
+            peek = (acc >> (navail - 16)) & 0xFFFF
+            length = dc_len[peek]
+            if length == 0:
+                raise ValueError("invalid JPEG Huffman code")
+            navail -= length
+            bitpos += length
+            acc &= (1 << navail) - 1
+            size = dc_sym[peek]
+            if size:
+                while navail < size:
+                    if bytepos < nd:
+                        acc = (acc << 8) | data[bytepos]
+                        bytepos += 1
+                    else:
+                        acc <<= 8
+                    navail += 8
+                navail -= size
+                bitpos += size
+                raw = (acc >> navail) & ((1 << size) - 1)
+                acc &= (1 << navail) - 1
+                diff = raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
+            else:
+                diff = 0
+            pred = preds[ci] + diff
+            preds[ci] = pred
+            blk[0] = pred
+            # ---- 63 AC coefficients: (run, size) symbols
+            k = 1
+            while k < 64:
+                while navail < 16:
+                    if bytepos < nd:
+                        acc = (acc << 8) | data[bytepos]
+                        bytepos += 1
+                    else:
+                        acc <<= 8
+                    navail += 8
+                peek = (acc >> (navail - 16)) & 0xFFFF
+                length = ac_len[peek]
+                if length == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                navail -= length
+                bitpos += length
+                acc &= (1 << navail) - 1
+                rs = ac_sym[peek]
+                size = rs & 0x0F
+                if size == 0:
+                    if rs == 0xF0:             # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break                      # EOB
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("JPEG AC run past end of block")
+                while navail < size:
+                    if bytepos < nd:
+                        acc = (acc << 8) | data[bytepos]
+                        bytepos += 1
+                    else:
+                        acc <<= 8
+                    navail += 8
+                navail -= size
+                bitpos += size
+                raw = (acc >> navail) & ((1 << size) - 1)
+                acc &= (1 << navail) - 1
+                blk[k] = (raw if raw >= (1 << (size - 1))
+                          else raw - (1 << size) + 1)
+                k += 1
+            if bitpos > nbits:
+                raise ValueError("truncated JPEG entropy-coded segment")
+
+
+# first 0xFF that is neither a stuffed zero nor a restart marker = scan end
+_SCAN_END = re.compile(rb"\xff(?=[^\x00\xd0-\xd7])", re.DOTALL)
+_RST = re.compile(rb"\xff[\xd0-\xd7]")
 
 
 def _split_scan(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """Collect entropy-coded data from ``start``, unstuffing 0xFF00 and
-    splitting at restart markers; returns (segments, next marker pos)."""
-    segs: list[bytearray] = [bytearray()]
-    i = start
-    n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            segs[-1].append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
-            break
-        m = payload[i + 1]
-        if m == 0x00:                          # stuffed 0xFF
-            segs[-1].append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:                # RSTn
-            segs.append(bytearray())
-            i += 2
-        else:                                  # real marker ends the scan
-            return [bytes(s) for s in segs], i
-    return [bytes(s) for s in segs], n
+    splitting at restart markers; returns (segments, next marker pos).
+    All three passes (find scan end, split at RSTn, unstuff) run as
+    C-level regex/replace over the whole scan, not a per-byte loop."""
+    m = _SCAN_END.search(payload, start)
+    end = m.start() if m else len(payload)
+    return [s.replace(b"\xff\x00", b"\xff")
+            for s in _RST.split(payload[start:end])], end
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -502,20 +621,16 @@ def _decode_scan(frame, scan_comps, qtables, htables, segs,
             raise ValueError("JPEG frame references missing quant table")
         cqt.append(qtables[tq])
 
+    tables = [(dc_tbls[ci][0], dc_tbls[ci][1],
+               ac_tbls[ci][0], ac_tbls[ci][1]) for ci in range(nc)]
     mcu = 0
     for seg in segs:
         if mcu >= n_mcu:
             break
-        r = _BitReader(seg)
-        preds = [0] * nc
         seg_end = (min(n_mcu, mcu + restart_interval)
                    if restart_interval else n_mcu)
-        while mcu < seg_end:
-            for ci in range(nc):
-                blk, preds[ci] = _decode_block(r, preds[ci],
-                                               dc_tbls[ci], ac_tbls[ci])
-                zz[ci, mcu] = blk
-            mcu += 1
+        _entropy_decode(seg, tables, zz, mcu, seg_end, [0] * nc)
+        mcu = seg_end
     if mcu < n_mcu:
         raise ValueError("JPEG scan ended before all MCUs decoded")
 
