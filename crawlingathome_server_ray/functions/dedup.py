@@ -529,3 +529,111 @@ def distributed_components(edges, max_iter: int = 20,
             f"{max_iter} rounds (graph diameter too large) — labels may "
             f"split components; raise max_iter", RuntimeWarning)
     return labels  # Dataset (node, label=component min id)
+
+
+# ------------------------------------------------- substring fingerprints
+# Exact shared-substring detection + winnowing document fingerprinting
+# (Schleimer–Wilkerson–Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting", SIGMOD 2003 — the MOSS algorithm), over byte k-grams
+# hashed with the same 2^61-1 polynomial family as fingerprint_text
+# (functions/text.py). Reference analog: none — north-rule substring-
+# dedup capability (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better").
+_SS_MOD = np.uint64((1 << 61) - 1)
+_SS_BASE = 257
+_M31 = np.uint64((1 << 31) - 1)
+_M30 = np.uint64((1 << 30) - 1)
+
+
+def _modmul61(a, b) -> np.ndarray:
+    """(a * b) mod 2^61-1 for uint64 inputs ≤ 2^61, fully vectorized.
+    31/31-bit limb split: with a = a1·2^31 + a0, b = b1·2^31 + b0 and
+    2^61 ≡ 1, 2^62 ≡ 2 (mod p), every intermediate stays < 2^63.4 —
+    exact in uint64 with no Python-int fallback."""
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    a1, a0 = a >> np.uint64(31), a & _M31
+    b1, b0 = b >> np.uint64(31), b & _M31
+    mid = a1 * b0 + a0 * b1                                  # < 2^62
+    x = (((a1 * b1) << np.uint64(1))                         # ·2^62 ≡ ·2
+         + (mid >> np.uint64(30))                            # ·2^31 split
+         + ((mid & _M30) << np.uint64(31))
+         + a0 * b0)                                          # < 2^63.4
+    x = (x >> np.uint64(61)) + (x & _SS_MOD)
+    x = (x >> np.uint64(61)) + (x & _SS_MOD)
+    return np.where(x >= _SS_MOD, x - _SS_MOD, x)
+
+
+def gram_hashes_padded(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-hash values of every k-byte gram of every text, as a
+    right-padded matrix: returns (G uint64 (n, n_pos), valid bool same
+    shape) with G[i, j] = hash(bytes_i[j:j+k]) and valid[i, j] iff the
+    gram lies inside text i. One cheap vectorized column step per byte
+    position builds prefix hashes (base 257 keeps the Mersenne split
+    overflow-free), then ONE whole-matrix _modmul61 turns prefixes into
+    gram hashes: h[j:j+k] = pre[j+k] - pre[j]·257^k (mod p)."""
+    enc = [t.encode() for t in texts]
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), np.int64, n)
+    l_max = max(int(lens.max(initial=0)), k)
+    mat = np.zeros((n, l_max), np.uint64)
+    for i, e in enumerate(enc):                 # ragged → padded copy only
+        mat[i, :len(e)] = np.frombuffer(e, np.uint8)
+    base = np.uint64(_SS_BASE)
+    pre = np.zeros((n, l_max + 1), np.uint64)
+    h = np.zeros(n, np.uint64)
+    for j in range(l_max):
+        t = (h >> np.uint64(31)) * base                      # < 2^40
+        x = ((t >> np.uint64(30)) + ((t & _M30) << np.uint64(31))
+             + (h & _M31) * base + mat[:, j])                # < 2^61.1
+        h = (x >> np.uint64(61)) + (x & _SS_MOD)             # ≤ 2^61
+        pre[:, j + 1] = h
+    pre = np.where(pre >= _SS_MOD, pre - _SS_MOD, pre)
+    n_pos = l_max - k + 1
+    bk = np.uint64(pow(_SS_BASE, k, (1 << 61) - 1))
+    sub = _modmul61(pre[:, :n_pos], bk)
+    hi = pre[:, k:k + n_pos]
+    g = np.where(hi >= sub, hi - sub, hi + _SS_MOD - sub)
+    valid = np.arange(n_pos)[None, :] <= (lens - k)[:, None]
+    return g, valid
+
+
+def winnow_select(g: np.ndarray, valid: np.ndarray,
+                  w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing selection: the minimum gram hash of every w-window of a
+    document's own grams is a fingerprint. GUARANTEE (SWA 2003 §3): any
+    substring shared between two documents of length ≥ k + w - 1
+    contributes at least one shared selected fingerprint — detection
+    above the guarantee threshold is exact, not probabilistic. Returns
+    (doc_idx, pos) of the selections (ties broken leftmost; density
+    ≈ 2/(w+1) of all grams).
+
+    Only windows lying FULLY inside a document's gram range count (the
+    SWA definition) — straddling windows into the batch padding would
+    add end-of-doc selections whose presence depends on the batch's
+    padded width, breaking selection determinism across batch layouts.
+    A document with 1..w-1 grams selects its global minimum instead, so
+    short docs are fingerprinted too."""
+    sent = _U64_MAX
+    h = np.where(valid, g, sent)
+    n, n_pos = h.shape
+    n_grams = valid.sum(axis=1)
+    if n_pos < w:
+        h = np.pad(h, ((0, 0), (0, w - n_pos)), constant_values=sent)
+        n_pos = w
+    win = np.lib.stride_tricks.sliding_window_view(h, w, axis=1)
+    n_win = win.shape[1]
+    sel = win.argmin(axis=2) + np.arange(n_win)[None, :]
+    # a window is in-document iff its start ≤ n_grams - w
+    win_ok = np.arange(n_win)[None, :] <= (n_grams - w)[:, None]
+    di = np.repeat(np.arange(n), n_win)[win_ok.ravel()]
+    flat = np.unique(di * n_pos + sel.ravel()[win_ok.ravel()])
+    d, p = flat // n_pos, flat % n_pos
+    # short docs (0 < n_grams < w): one fingerprint, the global min
+    short = np.flatnonzero((n_grams > 0) & (n_grams < w))
+    if len(short):
+        d = np.concatenate([d, short])
+        p = np.concatenate([p, h[short].argmin(axis=1)])
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+    return d, p

@@ -545,6 +545,127 @@ def q_ngram_jaccard_dup(sf_dir: str,
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
+# ------------------------------------------- shared-substring detection
+# Exact + winnowed detection of document pairs sharing a long verbatim
+# byte span (the substring-dedup concern of Lee et al. 2022). Both paths
+# shuffle only slim (uint64 fp, int64 doc_id) rows — texts never leave
+# their blocks — and share the bucketed pair machinery of the LSH family.
+SUBSTR_K = 24          # gram length: pairs share a ≥24-char verbatim span
+SUBSTR_W = 16          # winnow window: detection exact at ≥ k+w-1 = 39
+
+
+def _fp_pair_frame(fps_ds, max_group: int = PREFIX_MAX_GROUP):
+    """(fp, doc_id, bucket) rows → distinct (a_id, b_id) pairs sharing at
+    least one fingerprint: bucketed groupby pair expansion + bucketed
+    cross-bucket pair dedup (same shuffle shape as the LSH candidates —
+    only final pairs ever reach the driver)."""
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = pairs_from_groups([g["fp"].to_numpy(np.uint64)],
+                                 g["doc_id"].to_numpy(np.int64),
+                                 max_group=max_group)
+        ok = a != b
+        a, b = a[ok], b[ok]
+        return pd.DataFrame({"a_id": a, "b_id": b,
+                             "pair_bucket": _pair_bucket(a, b)})
+
+    pairs = (fps_ds.groupby("bucket").map_groups(emit_pairs,
+                                                 batch_format="pandas")
+             .groupby("pair_bucket")
+             .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
+                         [["a_id", "b_id"]],
+                         batch_format="pandas")
+             .to_pandas())  # final verdict pairs only: near-dup-sized
+    if pairs.empty:
+        return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
+                             "b_id": pd.array([], dtype="int64")})
+    return (pairs.astype({"a_id": "int64", "b_id": "int64"})
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+
+
+def q_doc_substring_dup(sf_dir: str, k: int = SUBSTR_K):
+    """EXACT shared-substring self-join: every pair (a<b) of documents
+    sharing at least one verbatim k-byte span. Per batch, ONE vectorized
+    prefix-hash pass + one whole-matrix modular multiply produces every
+    gram's 61-bit rolling hash (``gram_hashes_padded``); per-doc-distinct
+    (fp, doc_id) rows shuffle (16 B/gram — the corpus re-keyed once, the
+    inherent cost of exactness; ``doc_substring_winnow`` is the sublinear
+    scale path), then bucketed pair expansion + dedup. Hash equality
+    stands in for gram equality (2^-61 collision odds, same policy as
+    doc_line_dedup); the DuckDB oracle compares true substrings."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def emit_grams(b: pa.Table) -> pa.Table:
+        from ..functions.dedup import gram_hashes_padded
+        g, valid = gram_hashes_padded(b.column("text").to_pylist(), k)
+        di, pos = np.nonzero(valid)
+        fp = g[di, pos]
+        did = np.asarray(b.column("doc_id"), np.int64)[di]
+        order = np.lexsort((fp, did))          # per-doc-distinct grams
+        fp, did = fp[order], did[order]
+        keep = np.ones(len(fp), bool)
+        keep[1:] = (fp[1:] != fp[:-1]) | (did[1:] != did[:-1])
+        fp, did = fp[keep], did[keep]
+        bucket = (np.zeros(0, np.int32) if len(fp) == 0 else
+                  _lsh_bucket(np.zeros(len(fp), np.int32), fp))
+        return pa.table({"fp": pa.array(fp, pa.uint64()),
+                         "doc_id": pa.array(did, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    fps = ds.map_batches(emit_grams, batch_format="pyarrow",
+                         batch_size=2048)
+    return _fp_pair_frame(fps)
+
+
+def q_doc_substring_winnow(sf_dir: str, k: int = SUBSTR_K,
+                           w: int = SUBSTR_W):
+    """Winnowed shared-substring detection (Schleimer–Wilkerson–Aiken
+    MOSS fingerprinting): each doc keeps only the minimum gram hash of
+    every w-window (density ≈ 2/(w+1) of positions), then the same pair
+    machinery as the exact join. GUARANTEED to report every pair sharing
+    a span ≥ k+w-1 bytes (SWA 2003 §3 — exact above the threshold, not
+    probabilistic); pairs sharing only k..k+w-2 bytes may or may not
+    surface. This is the 100-TB path: fingerprint rows are ~8% of gram
+    rows at the defaults, and the guarantee threshold — not a recall
+    target — is the tuning knob. Rows-only for the driver (winnow
+    selection is not SQL-expressible); the guarantee and the
+    subset/superset sandwich vs the exact join are pytest-proven."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def emit_fps(b: pa.Table) -> pa.Table:
+        from ..functions.dedup import gram_hashes_padded, winnow_select
+        g, valid = gram_hashes_padded(b.column("text").to_pylist(), k)
+        d, pos = winnow_select(g, valid, w)
+        fp = g[d, pos]
+        did = np.asarray(b.column("doc_id"), np.int64)[d]
+        order = np.lexsort((fp, did))          # per-doc-distinct selections
+        fp, did = fp[order], did[order]
+        keep = np.ones(len(fp), bool)
+        keep[1:] = (fp[1:] != fp[:-1]) | (did[1:] != did[:-1])
+        fp, did = fp[keep], did[keep]
+        bucket = (np.zeros(0, np.int32) if len(fp) == 0 else
+                  _lsh_bucket(np.zeros(len(fp), np.int32), fp))
+        return pa.table({"fp": pa.array(fp, pa.uint64()),
+                         "doc_id": pa.array(did, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    fps = ds.map_batches(emit_fps, batch_format="pyarrow",
+                         batch_size=2048)
+    return _fp_pair_frame(fps)
+
+
+def _sql_substring_dup(k: int = SUBSTR_K) -> str:
+    # char-based substr ≡ the Ray side's byte grams: the documents table
+    # is ASCII by construction (asserted in tests)
+    return f"""
+WITH nums AS (SELECT CAST(i AS INT) AS i FROM range(1, 1000001) r(i)
+              WHERE i <= (SELECT max(n_chars) FROM documents) - {k} + 1),
+g AS (SELECT DISTINCT d.doc_id, substr(d.text, n.i, {k}) AS gram
+      FROM documents d JOIN nums n ON n.i <= d.n_chars - {k} + 1)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _sql_ngram_jaccard(threshold: float = NGRAM_JACCARD_THRESHOLD,
                        k: int = 3) -> str:
     """String-gram oracle: DISTINCT k-token grams per doc (short docs
@@ -995,6 +1116,8 @@ DOCS_QUERIES = {
     "docs_scrub_pipeline": q_docs_scrub_pipeline,
     "top_bigrams": q_top_bigrams,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
+    "doc_substring_dup": q_doc_substring_dup,
+    "doc_substring_winnow": q_doc_substring_winnow,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
@@ -1019,6 +1142,7 @@ DOCS_SQL = {
     "docs_scrub_pipeline": _sql_scrub_pipeline(),
     "top_bigrams": SQL_TOP_BIGRAMS,
     "ngram_jaccard_dup": _sql_ngram_jaccard(),
+    "doc_substring_dup": _sql_substring_dup(),
     "ann_topk": SQL_ANN_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
     # fingerprint / minhash / simhash / ivf: rows-only (non-SQL sketches)

@@ -170,6 +170,11 @@ def main() -> None:
     timed("minhash_dedup", lambda: dq.q_minhash_dedup(sf_dir))
     timed("simhash_pairs", lambda: dq.q_simhash_pairs(sf_dir))
     timed("ngram_jaccard_dup", lambda: dq.q_ngram_jaccard_dup(sf_dir))
+    # winnowed first (the scale path), exact second (every gram shuffles
+    # — the inherent exactness cost, reported for the comparison)
+    timed("doc_substring_winnow",
+          lambda: dq.q_doc_substring_winnow(sf_dir))
+    timed("doc_substring_dup", lambda: dq.q_doc_substring_dup(sf_dir))
     timed("doc_pii_scrub", lambda: dq.q_doc_pii_scrub(sf_dir))
     timed("doc_lm_score", lambda: cq.q_doc_lm_score(sf_dir))
     timed("embedding_kmeans", lambda: dq.q_embedding_kmeans(
