@@ -564,37 +564,71 @@ def _modmul61(a, b) -> np.ndarray:
     return np.where(x >= _SS_MOD, x - _SS_MOD, x)
 
 
+# Persistent per-worker scratch for the substring kernels: this sandbox
+# (and any memory-overcommitted VM) throttles first-touch page faults, so
+# per-batch multi-MB numpy allocations — which glibc serves via mmap and
+# returns to the OS on free — re-fault EVERY batch and dominate the
+# kernel (measured 28 s first call / 1.5 s steady on the same input).
+# Grow-only buffers keyed by (name, dtype) fault once per worker and are
+# reused by every subsequent batch; remaining temporaries are tiled
+# small enough for the allocator to recycle from the heap.
+_SS_SCRATCH: dict[tuple[str, np.dtype], np.ndarray] = {}
+_SS_TILE = 256                  # columns per modmul/argmin tile
+
+
+def _ss_scratch(name: str, shape: tuple, dtype) -> np.ndarray:
+    size = int(np.prod(shape))
+    key = (name, np.dtype(dtype))
+    buf = _SS_SCRATCH.get(key)
+    if buf is None or buf.size < size:
+        buf = np.empty(size, np.dtype(dtype))
+        _SS_SCRATCH[key] = buf
+    return buf[:size].reshape(shape)
+
+
 def gram_hashes_padded(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Rolling-hash values of every k-byte gram of every text, as a
     right-padded matrix: returns (G uint64 (n, n_pos), valid bool same
     shape) with G[i, j] = hash(bytes_i[j:j+k]) and valid[i, j] iff the
     gram lies inside text i. One cheap vectorized column step per byte
     position builds prefix hashes (base 257 keeps the Mersenne split
-    overflow-free), then ONE whole-matrix _modmul61 turns prefixes into
-    gram hashes: h[j:j+k] = pre[j+k] - pre[j]·257^k (mod p)."""
+    overflow-free), then column-tiled _modmul61 turns prefixes into gram
+    hashes: h[j:j+k] = pre[j+k] - pre[j]·257^k (mod p). All matrix-sized
+    buffers come from the persistent scratch (returned views are only
+    valid until the next call — callers copy what they keep)."""
     enc = [t.encode() for t in texts]
     n = len(enc)
     lens = np.fromiter((len(e) for e in enc), np.int64, n)
     l_max = max(int(lens.max(initial=0)), k)
-    mat = np.zeros((n, l_max), np.uint64)
+    mat = _ss_scratch("mat", (n, l_max), np.uint64)
+    mat[:] = 0
     for i, e in enumerate(enc):                 # ragged → padded copy only
         mat[i, :len(e)] = np.frombuffer(e, np.uint8)
     base = np.uint64(_SS_BASE)
-    pre = np.zeros((n, l_max + 1), np.uint64)
+    pre = _ss_scratch("pre", (n, l_max + 1), np.uint64)
+    pre[:, 0] = 0
     h = np.zeros(n, np.uint64)
-    for j in range(l_max):
+    for j in range(l_max):                      # (n,)-sized temporaries
         t = (h >> np.uint64(31)) * base                      # < 2^40
         x = ((t >> np.uint64(30)) + ((t & _M30) << np.uint64(31))
              + (h & _M31) * base + mat[:, j])                # < 2^61.1
         h = (x >> np.uint64(61)) + (x & _SS_MOD)             # ≤ 2^61
         pre[:, j + 1] = h
-    pre = np.where(pre >= _SS_MOD, pre - _SS_MOD, pre)
+    np.subtract(pre, _SS_MOD, out=pre, where=pre >= _SS_MOD)
     n_pos = l_max - k + 1
     bk = np.uint64(pow(_SS_BASE, k, (1 << 61) - 1))
-    sub = _modmul61(pre[:, :n_pos], bk)
-    hi = pre[:, k:k + n_pos]
-    g = np.where(hi >= sub, hi - sub, hi + _SS_MOD - sub)
-    valid = np.arange(n_pos)[None, :] <= (lens - k)[:, None]
+    g = _ss_scratch("g", (n, n_pos), np.uint64)
+    wrap = np.uint64((1 << 64) - ((1 << 61) - 1))   # 2^64 - p
+    for c0 in range(0, n_pos, _SS_TILE):        # tile: small temporaries
+        c1 = min(c0 + _SS_TILE, n_pos)
+        sub = _modmul61(pre[:, c0:c1], bk)
+        hi = pre[:, k + c0:k + c1]
+        gg = g[:, c0:c1]
+        np.subtract(hi, sub, out=gg)            # wraps where hi < sub …
+        np.subtract(gg, wrap, out=gg, where=hi < sub)  # ... +p via -(2^64-p)
+    valid = _ss_scratch("valid", (n, n_pos), bool)
+    np.less_equal(np.arange(n_pos)[None, :], (lens - k)[:, None],
+                  out=valid)
     return g, valid
 
 
@@ -615,19 +649,27 @@ def winnow_select(g: np.ndarray, valid: np.ndarray,
     A document with 1..w-1 grams selects its global minimum instead, so
     short docs are fingerprinted too."""
     sent = _U64_MAX
-    h = np.where(valid, g, sent)
-    n, n_pos = h.shape
+    n, n_pos0 = g.shape
+    n_pos = max(n_pos0, w)
     n_grams = valid.sum(axis=1)
-    if n_pos < w:
-        h = np.pad(h, ((0, 0), (0, w - n_pos)), constant_values=sent)
-        n_pos = w
+    h = _ss_scratch("winnow_h", (n, n_pos), np.uint64)
+    h[:, n_pos0:] = sent
+    np.copyto(h[:, :n_pos0], g)
+    h[:, :n_pos0][~valid] = sent
     win = np.lib.stride_tricks.sliding_window_view(h, w, axis=1)
     n_win = win.shape[1]
-    sel = win.argmin(axis=2) + np.arange(n_win)[None, :]
+    sel = _ss_scratch("winnow_sel", (n, n_win), np.int64)
+    for c0 in range(0, n_win, _SS_TILE):        # tiled argmin: the strided
+        c1 = min(c0 + _SS_TILE, n_win)          # reduce is the hot op
+        np.argmin(win[:, c0:c1], axis=2, out=sel[:, c0:c1])
+    sel += np.arange(n_win)[None, :]
     # a window is in-document iff its start ≤ n_grams - w
-    win_ok = np.arange(n_win)[None, :] <= (n_grams - w)[:, None]
-    di = np.repeat(np.arange(n), n_win)[win_ok.ravel()]
-    flat = np.unique(di * n_pos + sel.ravel()[win_ok.ravel()])
+    win_ok = _ss_scratch("winnow_ok", (n, n_win), bool)
+    np.less_equal(np.arange(n_win)[None, :], (n_grams - w)[:, None],
+                  out=win_ok)
+    okf = win_ok.ravel()
+    di = np.repeat(np.arange(n), n_win)[okf]
+    flat = np.unique(di * n_pos + sel.ravel()[okf])
     d, p = flat // n_pos, flat % n_pos
     # short docs (0 < n_grams < w): one fingerprint, the global min
     short = np.flatnonzero((n_grams > 0) & (n_grams < w))

@@ -611,8 +611,11 @@ def q_doc_substring_dup(sf_dir: str, k: int = SUBSTR_K):
                          "doc_id": pa.array(did, pa.int64()),
                          "bucket": pa.array(bucket, pa.int32())})
 
+    # batch 512 keeps every kernel scratch buffer < the 32 MB glibc mmap
+    # threshold: buffers live in the worker's (pre-faulted) heap instead
+    # of fresh mmaps, dodging this sandbox's throttled first-touch faults
     fps = ds.map_batches(emit_grams, batch_format="pyarrow",
-                         batch_size=2048)
+                         batch_size=512)
     return _fp_pair_frame(fps)
 
 
@@ -649,7 +652,7 @@ def q_doc_substring_winnow(sf_dir: str, k: int = SUBSTR_K,
                          "bucket": pa.array(bucket, pa.int32())})
 
     fps = ds.map_batches(emit_fps, batch_format="pyarrow",
-                         batch_size=2048)
+                         batch_size=512)
     return _fp_pair_frame(fps)
 
 
