@@ -120,6 +120,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timed("minhash_dedup", lambda: consume(dq.q_minhash_dedup(sf_dir)))
         timed("simhash_pairs", lambda: consume(dq.q_simhash_pairs(sf_dir)))
         timed("ngram_jaccard_dup", lambda: consume(dq.q_ngram_jaccard_dup(sf_dir)))
+        timed("doc_substring_winnow",
+              lambda: consume(dq.q_doc_substring_winnow(sf_dir)))
+        timed("doc_substring_dup",
+              lambda: consume(dq.q_doc_substring_dup(sf_dir)))
         timed("doc_pii_scrub", lambda: consume(dq.q_doc_pii_scrub(sf_dir)))
         timed("top_bigrams", lambda: consume(dq.q_top_bigrams(sf_dir)))
         timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
