@@ -554,11 +554,15 @@ SUBSTR_K = 24          # gram length: pairs share a ≥24-char verbatim span
 SUBSTR_W = 16          # winnow window: detection exact at ≥ k+w-1 = 39
 
 
-def _fp_pair_frame(fps_ds, max_group: int = PREFIX_MAX_GROUP):
+def _fp_pair_frame(fps_ds, max_group: int = PREFIX_MAX_GROUP,
+                   driver_pairs_threshold: int = 1_000_000):
     """(fp, doc_id, bucket) rows → distinct (a_id, b_id) pairs sharing at
     least one fingerprint: bucketed groupby pair expansion + bucketed
-    cross-bucket pair dedup (same shuffle shape as the LSH candidates —
-    only final pairs ever reach the driver)."""
+    cross-bucket pair dedup (same shuffle shape as the LSH candidates).
+    Collected to a sorted DataFrame only while the pair count fits the
+    driver (counted on the DATASET, like q_minhash_dedup's switch); a
+    mass-duplication corpus above the threshold returns the distributed
+    pair Dataset for the caller to write or cluster."""
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = pairs_from_groups([g["fp"].to_numpy(np.uint64)],
                                  g["doc_id"].to_numpy(np.int64),
@@ -574,15 +578,19 @@ def _fp_pair_frame(fps_ds, max_group: int = PREFIX_MAX_GROUP):
              .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
                          [["a_id", "b_id"]],
                          batch_format="pandas")
-             .to_pandas())  # final verdict pairs only: near-dup-sized
-    if pairs.empty:
+             .materialize())
+    if pairs.count() > driver_pairs_threshold:
+        return pairs                          # Dataset: stays distributed
+    df = pairs.to_pandas()
+    if df.empty:
         return pd.DataFrame({"a_id": pd.array([], dtype="int64"),
                              "b_id": pd.array([], dtype="int64")})
-    return (pairs.astype({"a_id": "int64", "b_id": "int64"})
+    return (df.astype({"a_id": "int64", "b_id": "int64"})
             .sort_values(["a_id", "b_id"]).reset_index(drop=True))
 
 
-def q_doc_substring_dup(sf_dir: str, k: int = SUBSTR_K):
+def q_doc_substring_dup(sf_dir: str, k: int = SUBSTR_K,
+                        driver_pairs_threshold: int = 1_000_000):
     """EXACT shared-substring self-join: every pair (a<b) of documents
     sharing at least one verbatim k-byte span. Per batch, ONE vectorized
     prefix-hash pass + one whole-matrix modular multiply produces every
@@ -616,11 +624,13 @@ def q_doc_substring_dup(sf_dir: str, k: int = SUBSTR_K):
     # of fresh mmaps, dodging this sandbox's throttled first-touch faults
     fps = ds.map_batches(emit_grams, batch_format="pyarrow",
                          batch_size=512)
-    return _fp_pair_frame(fps)
+    return _fp_pair_frame(fps,
+                          driver_pairs_threshold=driver_pairs_threshold)
 
 
 def q_doc_substring_winnow(sf_dir: str, k: int = SUBSTR_K,
-                           w: int = SUBSTR_W):
+                           w: int = SUBSTR_W,
+                           driver_pairs_threshold: int = 1_000_000):
     """Winnowed shared-substring detection (Schleimer–Wilkerson–Aiken
     MOSS fingerprinting): each doc keeps only the minimum gram hash of
     every w-window (density ≈ 2/(w+1) of positions), then the same pair
@@ -653,7 +663,8 @@ def q_doc_substring_winnow(sf_dir: str, k: int = SUBSTR_K,
 
     fps = ds.map_batches(emit_fps, batch_format="pyarrow",
                          batch_size=512)
-    return _fp_pair_frame(fps)
+    return _fp_pair_frame(fps,
+                          driver_pairs_threshold=driver_pairs_threshold)
 
 
 def _sql_substring_dup(k: int = SUBSTR_K) -> str:

@@ -159,3 +159,17 @@ def test_substring_queries_end_to_end(ray_session):
     truth = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
              if tgrams[a] & tgrams[b]}
     assert truth <= wset, truth - wset
+
+
+def test_substring_distributed_pair_branch(ray_session):
+    """Above the driver-pairs threshold the pair set stays a Dataset
+    (never driver-resident) with the identical pair set."""
+    import ray.data
+    from crawlingathome_server_ray.pipelines.docs_queries import (
+        q_doc_substring_dup)
+    small = q_doc_substring_dup(SF)
+    big = q_doc_substring_dup(SF, driver_pairs_threshold=0)
+    assert isinstance(big, ray.data.Dataset)
+    df = big.to_pandas()
+    assert (set(zip(df.a_id.astype(int), df.b_id.astype(int)))
+            == set(zip(small.a_id.astype(int), small.b_id.astype(int))))
