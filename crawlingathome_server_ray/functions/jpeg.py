@@ -600,6 +600,55 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     raise ValueError("JPEG has no SOS scan")
 
 
+def frame_end(payload: bytes, start: int = 0) -> int:
+    """Offset just past the EOI of the JPEG frame starting at ``start``.
+
+    Structural marker walk — segments are skipped by their length field
+    and entropy-coded data via the same stuffed-FF/RST-aware scan the
+    decoder uses, so a raw ``0xFFD9`` byte pair inside a DQT/DHT body or
+    stuffed entropy data can never be mistaken for the end of frame
+    (a naive ``find(b"\\xff\\xd9")`` would be)."""
+    if payload[start:start + 2] != b"\xff\xd8":
+        raise ValueError("not a JPEG frame (missing SOI)")
+    i = start + 2
+    n = len(payload)
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker stream out of sync")
+        tag = payload[i + 1]
+        if tag == 0xD9:                                  # EOI
+            return i + 2
+        if tag == 0x01 or 0xD0 <= tag <= 0xD8:           # bodiless markers
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2:i + 4])
+        if tag == 0xDA:                                  # SOS: skip entropy
+            m = _SCAN_END.search(payload, i + 2 + seglen)
+            i = m.start() if m else n
+            continue
+        i += 2 + seglen
+    raise ValueError("JPEG frame missing EOI")
+
+
+def split_frames(payload: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream — back-to-back baseline JPEG frames, the
+    wire format of motion-JPEG video — into its frame byte strings.
+    A single JPEG image comes back as a one-element list. Strict: any
+    bytes that are not a well-formed frame raise (a 100-TB crawl's
+    undecodable clips are the caller's policy, same as decode_jpeg)."""
+    frames: list[bytes] = []
+    i, n = 0, len(payload)
+    while i < n:
+        j = frame_end(payload, i)
+        frames.append(payload[i:j])
+        i = j
+    if not frames:
+        raise ValueError("empty MJPEG payload")
+    return frames
+
+
 def _decode_scan(frame, scan_comps, qtables, htables, segs,
                  restart_interval) -> np.ndarray:
     fh, fw, comps = frame

@@ -1,10 +1,12 @@
 """Real multimodal codecs and feature kernels, pure numpy + stdlib.
 
-The container has no image/audio libraries, but four real, widely-used
+The container has no image/audio libraries, but five real, widely-used
 formats are decodable with numpy + the stdlib alone: **BMP** (Windows
 bitmap, 24-bit uncompressed BI_RGB), **PNG** (8-bit truecolor, zlib
 inflate + all five spec filter types), **JPEG** (baseline sequential
-DCT + Huffman, 4:4:4 — see functions/jpeg.py, re-exported here), and
+DCT + Huffman, 4:4:4 — see functions/jpeg.py, re-exported here),
+**raw MJPEG video** (back-to-back JPEG frames, the motion-JPEG wire
+format, split by a structural marker walk — never a byte scan), and
 **WAV** (RIFF PCM16 — the baseline audio format). This module
 implements honest encoders/decoders plus vectorized feature kernels, so
 the multimodal stages in ``stages/multimodal.py`` produce REAL features
@@ -30,6 +32,7 @@ import zlib
 import numpy as np
 
 from .jpeg import decode_jpeg, encode_jpeg  # noqa: F401  (codec façade)
+from .jpeg import split_frames as split_mjpeg  # noqa: F401
 
 FEATURE_DIM = 16  # shared by image and audio features (CLIP-ish shape)
 
@@ -376,3 +379,45 @@ def sniff_format(payload: bytes) -> str:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
     return "unknown"
+
+
+# -------------------------------------------------------------------- MJPEG
+# Raw MJPEG video = back-to-back baseline JPEG frames (the wire format of
+# motion-JPEG streams; no container). Nominal frame rate for duration /
+# timestamp math — raw MJPEG carries no timing, the container would.
+MJPEG_FRAME_MS = 100  # 10 fps nominal
+
+
+def encode_mjpeg(frames, quality: int = 90) -> bytes:
+    """Encode a sequence of (h, w, 3) uint8 RGB frames as a raw MJPEG
+    clip: each frame a complete baseline JPEG stream, concatenated."""
+    if len(frames) == 0:
+        raise ValueError("empty frame sequence")
+    return b"".join(encode_jpeg(f, quality) for f in frames)
+
+
+def sniff_clip(payload: bytes):
+    """Return the per-frame byte strings if ``payload`` is a multi-frame
+    MJPEG clip, else ``None`` (single JPEG images and every other format
+    return None). Uses the structural marker walk, never a byte scan."""
+    if sniff_format(payload) != "jpeg":
+        return None
+    try:
+        frames = split_mjpeg(payload)
+    except ValueError:
+        return None
+    return frames if len(frames) > 1 else None
+
+
+def clip_luma_frames(frames: list[bytes], stride: int = 1) -> np.ndarray:
+    """Decode every ``stride``-th frame of an MJPEG clip to a stacked
+    (n, h, w) float64 luminance array (Rec. 601 luma, the decoder's own
+    color basis). Raises if sampled frames disagree on dimensions —
+    MJPEG streams are fixed-geometry by construction."""
+    sampled = [decode_jpeg(frames[i]).astype(np.float64)
+               for i in range(0, len(frames), max(1, stride))]
+    shapes = {s.shape for s in sampled}
+    if len(shapes) != 1:
+        raise ValueError(f"MJPEG frame geometry varies: {sorted(shapes)}")
+    rgb = np.stack(sampled)                          # (n, h, w, 3)
+    return rgb @ np.array([0.299, 0.587, 0.114])     # (n, h, w) luma

@@ -2,13 +2,15 @@
 images and WAV audio clips as opaque ``binary`` payloads with typed
 metadata.
 
-Schema: (media_id: int64, kind: string 'image'|'audio', payload: binary)
-— the multimodal-column shape from the brief. Even rows are images
-(cycling BMP → zlib-compressed PNG → DCT+Huffman JPEG), odd rows are
-audio. Payloads are REAL encoded files (see functions/media.py and
-functions/jpeg.py), so the decode / feature-extract stages exercise
-honest format parsing — PNG filter reconstruction and JPEG entropy
-decode included — not a hash-based fake.
+Schema: (media_id: int64, kind: string 'image'|'audio'|'video',
+payload: binary) — the multimodal-column shape from the brief. Even
+rows cycle BMP → zlib-compressed PNG → DCT+Huffman JPEG → raw-MJPEG
+video clip (back-to-back JPEG frames with real per-frame motion: a
+rolling gradient); odd rows are audio. Payloads are REAL encoded files
+(see functions/media.py and functions/jpeg.py), so the decode /
+feature-extract / frame-sample stages exercise honest format parsing —
+PNG filter reconstruction, JPEG entropy decode and MJPEG frame
+splitting included — not a hash-based fake.
 
 Cached under ``/tmp/graft_media/<sf>/`` with the same atomic
 build-then-rename protocol as sources/synth.ensure_frontier. Row count
@@ -27,13 +29,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.media import (encode_bmp, encode_jpeg, encode_png,
-                               encode_wav)
+from ..functions.media import (encode_bmp, encode_jpeg, encode_mjpeg,
+                               encode_png, encode_wav)
 from .synth import SF_SHAPE, sf_name
 
-_MARKER = "_DONE_v3"  # v3: image rows cycle BMP / PNG / JPEG
+_MARKER = "_DONE_v4"  # v4: even rows cycle BMP / PNG / JPEG / MJPEG video
 
-_IMAGE_ROTATION = ("bmp", "png", "jpeg")
+_IMAGE_ROTATION = ("bmp", "png", "jpeg", "mjpeg")
 
 
 def media_rows_for(sf_dir: str) -> int:
@@ -56,6 +58,25 @@ def _make_image(rng: np.random.Generator, fmt: str = "bmp") -> bytes:
     return enc(img.astype(np.uint8))
 
 
+def _make_clip(rng: np.random.Generator) -> bytes:
+    """Raw MJPEG clip with REAL inter-frame motion: a two-axis gradient
+    rolled ``dx`` columns per frame over a constant seeded-noise channel,
+    so sampled-frame luminance deltas are nonzero and deterministic."""
+    w = int(rng.integers(12, 33))
+    h = int(rng.integers(12, 33))
+    n_frames = int(rng.integers(4, 9))
+    dx = int(rng.integers(1, 4))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1) + yy * 128 // max(h - 1, 1)) % 256
+    noise = rng.integers(0, 256, size=(h, w))
+    frames = []
+    for k in range(n_frames):
+        ch = np.roll(base, k * dx, axis=1)
+        frames.append(np.stack([ch, (ch + 32) % 256, noise],
+                               axis=2).astype(np.uint8))
+    return encode_mjpeg(frames)
+
+
 def _make_audio(rng: np.random.Generator, rate: int = 8000) -> bytes:
     n = int(rng.integers(rate // 10, rate // 2))          # 0.1–0.5 s
     t = np.arange(n) / rate
@@ -74,9 +95,13 @@ def generate_media(seed: int, n_rows: int) -> pa.Table:
         rng = np.random.default_rng((seed << 20) ^ int(i))  # per-row stream:
         # payload i is identical regardless of table size or build order
         if i % 2 == 0:
-            kinds.append("image")
-            payloads.append(_make_image(
-                rng, _IMAGE_ROTATION[(i // 2) % 3]))
+            fmt = _IMAGE_ROTATION[(i // 2) % len(_IMAGE_ROTATION)]
+            if fmt == "mjpeg":
+                kinds.append("video")
+                payloads.append(_make_clip(rng))
+            else:
+                kinds.append("image")
+                payloads.append(_make_image(rng, fmt))
         else:
             kinds.append("audio")
             payloads.append(_make_audio(rng))

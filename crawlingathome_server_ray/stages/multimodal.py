@@ -6,14 +6,18 @@ Two tiers:
 
 - **Real kernels** for the baseline formats the sandbox CAN decode with
   numpy + stdlib alone — BMP, PNG (zlib) and baseline JPEG (DCT +
-  Huffman) images and WAV PCM16 audio (see functions/media.py and
-  functions/jpeg.py for the honest format parsers).
-  ``MediaStatsStage`` / ``MediaFeatureStage`` / ``ThumbnailStage`` /
-  ``FrameSampleStage(real=True)`` sniff magic bytes and produce real
-  metadata, real 16-dim features, format-preserving thumbnails, and
-  real windowed audio frames. The per-row loop inside each batch is
-  inherent to variable-size payload decode (every media engine's
-  shape); each decode is itself vectorized numpy over the payload bytes.
+  Huffman) images, raw-MJPEG video clips (back-to-back JPEG frames,
+  split by a structural marker walk) and WAV PCM16 audio (see
+  functions/media.py and functions/jpeg.py for the honest format
+  parsers). ``MediaStatsStage`` / ``MediaFeatureStage`` /
+  ``ThumbnailStage`` / ``FrameSampleStage(real=True)`` sniff magic
+  bytes and produce real metadata, real 16-dim features,
+  format-preserving thumbnails (an MJPEG clip thumbnails to an MJPEG
+  clip), and real sampled frames — windowed RMS for audio, per-frame
+  MOTION (RMS luminance delta) for video. The per-row loop inside each
+  batch is inherent to variable-size payload decode (every media
+  engine's shape); each decode is itself vectorized numpy over the
+  payload bytes.
 - **Declared stubs** for formats whose codecs need an external library
   (MP3): ``DecodeStage(fake=False)`` handles BMP/PNG/JPEG/WAV via the
   real parsers and raises ``NotImplementedError`` naming the missing
@@ -32,11 +36,12 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.media import (audio_features, audio_stats,
-                               conv_image_features, decode_bmp, decode_jpeg,
-                               decode_png, decode_wav, encode_bmp,
-                               encode_jpeg, encode_png, image_features,
-                               resize_nearest, sniff_format)
+from ..functions.media import (MJPEG_FRAME_MS, audio_features, audio_stats,
+                               clip_luma_frames, conv_image_features,
+                               decode_bmp, decode_jpeg, decode_png,
+                               decode_wav, encode_bmp, encode_jpeg,
+                               encode_png, image_features, resize_nearest,
+                               sniff_clip, sniff_format)
 
 _IMAGE_CODECS = {"bmp": (decode_bmp, encode_bmp),
                  "png": (decode_png, encode_png),
@@ -74,6 +79,11 @@ class DecodeStage:
 
     def _decode_real(self, payload: bytes):
         fmt = sniff_format(payload)
+        if fmt == "jpeg":
+            frames = sniff_clip(payload)
+            if frames is not None:                  # raw-MJPEG video clip
+                img = decode_jpeg(frames[0])
+                return img.shape[1], img.shape[0], "mjpeg"
         if fmt in _IMAGE_CODECS:
             img = _IMAGE_CODECS[fmt][0](payload)
             return img.shape[1], img.shape[0], fmt
@@ -117,6 +127,11 @@ class FeatureExtractStage:
 
     def _real_features(self, payload: bytes) -> np.ndarray:
         fmt = sniff_format(payload)
+        if fmt == "jpeg":
+            frames = sniff_clip(payload)
+            if frames is not None:    # video: mean of per-frame encodings
+                return np.mean([conv_image_features(decode_jpeg(f))
+                                for f in frames], axis=0).astype(np.float32)
         if fmt in _IMAGE_CODECS:
             return conv_image_features(_IMAGE_CODECS[fmt][0](payload))
         if fmt == "wav":
@@ -153,6 +168,14 @@ class MediaStatsStage:
         fmt, w, h, dur, rms, dom = [], [], [], [], [], []
         for p in col.to_pylist():
             f = sniff_format(p)
+            frames = sniff_clip(p) if f == "jpeg" else None
+            if frames is not None:                   # raw-MJPEG video clip
+                fmt.append("mjpeg")
+                img = decode_jpeg(frames[0])
+                w.append(img.shape[1]); h.append(img.shape[0])
+                dur.append(len(frames) * MJPEG_FRAME_MS)
+                rms.append(None); dom.append(None)
+                continue
             fmt.append(f)
             if f in _IMAGE_CODECS:
                 img = _IMAGE_CODECS[f][0](p)
@@ -192,7 +215,11 @@ class MediaFeatureStage:
         feats = np.zeros((len(col), FEATURE_DIM), np.float32)
         for i, p in enumerate(col.to_pylist()):
             f = sniff_format(p)
-            if f in _IMAGE_CODECS:
+            frames = sniff_clip(p) if f == "jpeg" else None
+            if frames is not None:    # video: mean of per-frame features
+                feats[i] = np.mean([image_features(decode_jpeg(fr))
+                                    for fr in frames], axis=0)
+            elif f in _IMAGE_CODECS:
                 feats[i] = image_features(_IMAGE_CODECS[f][0](p))
             elif f == "wav":
                 feats[i] = audio_features(*decode_wav(p))
@@ -223,7 +250,16 @@ class ThumbnailStage:
             col = col.combine_chunks()
         thumbs: list[bytes | None] = []
         for p in col.to_pylist():
-            codec = _IMAGE_CODECS.get(sniff_format(p))
+            fmt = sniff_format(p)
+            frames = sniff_clip(p) if fmt == "jpeg" else None
+            if frames is not None:   # video: thumbnail every frame — the
+                # result is itself a valid raw-MJPEG clip
+                thumbs.append(b"".join(
+                    encode_jpeg(resize_nearest(decode_jpeg(fr),
+                                               self.out_h, self.out_w))
+                    for fr in frames))
+                continue
+            codec = _IMAGE_CODECS.get(fmt)
             if codec is not None:
                 dec, enc = codec
                 thumbs.append(enc(
@@ -245,11 +281,19 @@ class FrameSampleStage:
     """Frame sampling as a flat-map-shaped multimodal stage: one output
     row per sampled frame.
 
-    ``real=True`` (WAV payloads): REAL windowed sampling — cut the clip
-    into ``window_ms`` windows, emit every ``stride``-th one with its
-    offset and RMS (the audio analog of video frame sampling; numpy
-    reshape, no per-sample loop). ``real=False``: the deterministic
-    hash-fake retained for format-independent plumbing tests."""
+    ``real=True``: REAL sampling for both time-series formats —
+
+    - **WAV audio**: cut the clip into ``window_ms`` windows, emit every
+      ``stride``-th one with its offset and RMS (numpy reshape, no
+      per-sample loop).
+    - **raw-MJPEG video**: split the clip into its JPEG frames
+      (structural marker walk), decode every ``stride``-th frame, emit
+      its nominal timestamp and MOTION — RMS luminance delta versus the
+      previously sampled frame ([0, 1] luma scale; 0.0 for the first
+      sample). Same output schema as audio: (id, frame_ms, frame_rms).
+
+    ``real=False``: the deterministic hash-fake retained for
+    format-independent plumbing tests."""
 
     def __init__(self, column: str = "html", n_frames: int = 3,
                  real: bool = False, id_col: str = "url",
@@ -275,6 +319,18 @@ class FrameSampleStage:
         j = np.arange(0, n_win, self.stride, dtype=np.int64)
         return j * self.window_ms, rms[j]
 
+    def _real_video_frames(self, frames: list[bytes]
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """(frame_ms, motion_rms) for every ``stride``-th frame of an
+        MJPEG clip: motion = RMS luminance delta vs the previous sampled
+        frame on a [0, 1] scale (first sample: 0.0 by definition)."""
+        luma = clip_luma_frames(frames, self.stride) / 255.0  # (n, h, w)
+        d = np.diff(luma, axis=0)
+        motion = np.concatenate(
+            [[0.0], np.sqrt((d * d).mean(axis=(1, 2)))])
+        j = np.arange(0, len(frames), self.stride, dtype=np.int64)
+        return j * MJPEG_FRAME_MS, motion
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.column)
         if isinstance(col, pa.ChunkedArray):
@@ -285,9 +341,16 @@ class FrameSampleStage:
         src_row, f_parts, r_parts = [], [], []
         for i, p in enumerate(col.to_pylist()):
             if self.real:
-                if sniff_format(p) != "wav":
+                fmt = sniff_format(p)
+                if fmt == "wav":
+                    f, r = self._real_frames(p)
+                elif fmt == "jpeg":
+                    frames = sniff_clip(p)
+                    if frames is None:      # still image: nothing to sample
+                        continue
+                    f, r = self._real_video_frames(frames)
+                else:
                     continue
-                f, r = self._real_frames(p)
             else:
                 h = hashlib.md5(p).digest()
                 f = np.array([int.from_bytes(h[i2:i2 + 2], "big") % 10_000

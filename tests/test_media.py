@@ -194,6 +194,100 @@ def test_wav_chunk_walk_tolerates_vendor_chunks():
     assert rate == 8000 and np.array_equal(out, samples)
 
 
+# ------------------------------------------------------------------- MJPEG
+def _motion_clip(n_frames=5, h=20, w=28, dx=2, seed=3, quality=90):
+    from crawlingathome_server_ray.functions.media import encode_mjpeg
+    rng = np.random.default_rng(seed)
+    base = (np.mgrid[0:h, 0:w][1] * 9 % 256)
+    noise = rng.integers(0, 256, size=(h, w))
+    frames = [np.stack([np.roll(base, dx * k, axis=1),
+                        (np.roll(base, dx * k, axis=1) + 32) % 256,
+                        noise], axis=2).astype(np.uint8)
+              for k in range(n_frames)]
+    return encode_mjpeg(frames, quality), frames
+
+
+@settings(max_examples=12, deadline=None)
+@given(n=st.integers(2, 6), q=st.integers(25, 100), seed=st.integers(0, 99))
+def test_mjpeg_split_structural(n, q, seed):
+    """split_mjpeg recovers exactly the encoded frame boundaries — for
+    random noise frames too, whose entropy streams are dense with stuffed
+    0xFF bytes that a naive find(b'\\xff\\xd9') scan could trip on."""
+    from crawlingathome_server_ray.functions.jpeg import encode_jpeg
+    from crawlingathome_server_ray.functions.media import split_mjpeg
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (12, 12, 3)).astype(np.uint8)
+              for _ in range(n)]
+    encoded = [encode_jpeg(f, q) for f in frames]
+    parts = split_mjpeg(b"".join(encoded))
+    assert parts == encoded  # byte-exact frame boundaries
+
+
+def test_mjpeg_split_roundtrip_and_errors():
+    from crawlingathome_server_ray.functions.media import (decode_jpeg,
+                                                           encode_jpeg,
+                                                           sniff_clip,
+                                                           split_mjpeg)
+    clip, frames = _motion_clip()
+    parts = split_mjpeg(clip)
+    assert len(parts) == 5
+    for f, p in zip(frames, parts):
+        assert np.array_equal(decode_jpeg(p), decode_jpeg(encode_jpeg(f)))
+    # a single image is not a clip
+    single = encode_jpeg(frames[0])
+    assert sniff_clip(single) is None
+    assert split_mjpeg(single) == [single]
+    assert sniff_clip(b"\x89PNG\r\n\x1a\nrest") is None
+    # strictness: trailing garbage / truncation raise
+    with pytest.raises(ValueError):
+        split_mjpeg(clip + b"garbage")
+    with pytest.raises(ValueError):
+        split_mjpeg(clip[:-1])
+    with pytest.raises(ValueError):
+        split_mjpeg(b"")
+
+
+def test_frame_sample_stage_video_motion(ray_session):
+    import pyarrow as pa
+
+    from crawlingathome_server_ray.functions.media import (MJPEG_FRAME_MS,
+                                                           encode_mjpeg)
+    from crawlingathome_server_ray.stages.multimodal import FrameSampleStage
+
+    moving, frames = _motion_clip(n_frames=6, dx=3)
+    still = encode_mjpeg([frames[0]] * 6)
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([moving, still], pa.binary())})
+    out = FrameSampleStage(column="payload", real=True, id_col="media_id",
+                           stride=2)(t).to_pandas()
+    # stride 2 over 6 frames → samples at 0/200/400 ms per clip
+    for mid in (1, 2):
+        assert (out[out["media_id"] == mid]["frame_ms"].tolist()
+                == [0, 2 * MJPEG_FRAME_MS, 4 * MJPEG_FRAME_MS])
+    mov = out[out["media_id"] == 1]["frame_rms"].to_numpy()
+    stl = out[out["media_id"] == 2]["frame_rms"].to_numpy()
+    assert mov[0] == 0.0 and (mov[1:] > 0.01).all()   # real motion
+    assert np.allclose(stl, 0.0)                      # identical frames
+    # stride 1 emits every frame
+    out1 = FrameSampleStage(column="payload", real=True, id_col="media_id",
+                            stride=1)(t)
+    assert out1.num_rows == 12
+
+
+def test_media_clip_motion_query(ray_session):
+    from crawlingathome_server_ray.pipelines.media_queries import (
+        media_ds, q_media_clip_motion)
+    n_vid = media_ds(SF).to_pandas()["kind"].eq("video").sum()
+    out = q_media_clip_motion(SF).to_pandas()
+    assert set(out.columns) == {"media_id", "n_frames", "duration_ms",
+                                "max_motion", "mean_motion"}
+    assert len(out) == n_vid > 0
+    assert out["n_frames"].between(4, 8).all()
+    assert (out["duration_ms"] == out["n_frames"] * 100).all()
+    assert (out["max_motion"] > 0.005).all()  # every synth clip really moves
+    assert (out["mean_motion"] <= out["max_motion"]).all()
+
+
 def test_decoders_reject_garbage_loudly():
     with pytest.raises(ValueError):
         decode_bmp(b"not a bmp at all" * 10)
@@ -271,8 +365,14 @@ def test_feature_extract_stage_real_path(ray_session):
     src2 = t.column("payload")[2].as_py()
     assert np.array_equal(feats[2], conv_image_features(decode_png(src2)))
     src4 = t.column("payload")[4].as_py()
-    from crawlingathome_server_ray.functions.media import decode_jpeg
+    from crawlingathome_server_ray.functions.media import (decode_jpeg,
+                                                           split_mjpeg)
     assert np.array_equal(feats[4], conv_image_features(decode_jpeg(src4)))
+    # video rows carry the mean of per-frame conv encodings, exactly
+    src6 = t.column("payload")[6].as_py()
+    want6 = np.mean([conv_image_features(decode_jpeg(fr))
+                     for fr in split_mjpeg(src6)], axis=0).astype(np.float32)
+    assert np.array_equal(feats[6], want6)
     # unknown payloads → zero vector, row kept
     import pyarrow as pa
     junk = pa.table({"media_id": pa.array([0], pa.int64()),
@@ -301,13 +401,20 @@ def test_media_table_deterministic_and_real():
     for i in range(24):  # per-row streams: prefix-stable across sizes
         assert t1.column("payload")[i].as_py() == t2.column("payload")[i].as_py()
     kinds = t1.column("kind").to_pylist()
-    assert kinds[::2] == ["image"] * 12 and kinds[1::2] == ["audio"] * 12
+    # even rows cycle BMP / PNG / JPEG images then one MJPEG video clip
+    assert kinds[::2] == ["image", "image", "image", "video"] * 3
+    assert kinds[1::2] == ["audio"] * 12
+    from crawlingathome_server_ray.functions.media import sniff_clip
     for i, k in enumerate(kinds):
         p = t1.column("payload")[i].as_py()
         if k == "audio":
             assert sniff_format(p) == "wav"
-        else:  # image rows cycle raw BMP, compressed PNG, DCT JPEG
-            assert sniff_format(p) == ("bmp", "png", "jpeg")[(i // 2) % 3]
+        elif k == "video":  # raw MJPEG: JPEG magic, ≥2 structural frames
+            assert sniff_format(p) == "jpeg"
+            assert len(sniff_clip(p)) >= 4
+        else:
+            assert sniff_format(p) == ("bmp", "png", "jpeg")[(i // 2) % 4]
+            assert sniff_clip(p) is None
 
 
 def test_media_queries_end_to_end(ray_session):
@@ -320,15 +427,21 @@ def test_media_queries_end_to_end(ray_session):
     assert len(stats) == n
     img = stats[stats["kind"] == "image"]
     aud = stats[stats["kind"] == "audio"]
+    vid = stats[stats["kind"] == "video"]
     assert img["format"].isin(["bmp", "png", "jpeg"]).all()
     assert set(img["format"]) == {"bmp", "png", "jpeg"}  # all codecs exercised
     assert (aud["format"] == "wav").all()
+    assert len(vid) > 0 and (vid["format"] == "mjpeg").all()
     assert img["width"].between(8, 48).all() and img["height"].between(8, 48).all()
+    assert vid["width"].between(12, 32).all() and vid["height"].between(12, 32).all()
+    # clips carry 4–8 frames at the 100 ms nominal MJPEG frame time
+    assert vid["duration_ms"].between(400, 800).all()
     assert aud["duration_ms"].between(100, 500).all()
     assert (aud["rms"] > 0.1).all()
     # synth mixes f1∈[100,1500) at amplitude 0.5 > f2's 0.3 → dominant=f1
     assert aud["dominant_freq_hz"].between(90, 1510).all()
     assert img[["duration_ms", "rms"]].isna().all().all()
+    assert vid[["rms", "dominant_freq_hz"]].isna().all().all()
     assert aud[["width", "height"]].isna().all().all()
 
     feats = q_media_features(SF).to_pandas()
@@ -340,14 +453,25 @@ def test_media_queries_end_to_end(ray_session):
 
     frames = q_media_frames(SF).to_pandas()
     assert set(frames.columns) == {"media_id", "frame_ms", "frame_rms"}
-    assert frames["media_id"].nunique() == n // 2  # audio rows only
-    # every clip ≥100 ms emits its window 0; stride-2 → offsets are even
+    # audio rows + video rows both emit sampled frames
+    assert frames["media_id"].nunique() == n // 2 + len(vid)
+    # every clip ≥100 ms emits its frame 0; stride-2 → offsets are even
+    # multiples of 200 ms for audio windows AND 100 ms MJPEG frames alike
     assert (frames["frame_ms"] % 200 == 0).all()
     assert frames.groupby("media_id")["frame_ms"].min().eq(0).all()
     # frame RMS within a clip must be consistent with the clip-level RMS
     j = frames.groupby("media_id")["frame_rms"].mean().to_frame().join(
-        aud.set_index("media_id")["rms"])
+        aud.set_index("media_id")["rms"], how="inner")
+    assert len(j) == n // 2
     assert (j["frame_rms"] - j["rms"]).abs().max() < 0.1
+    # video frames: first sample has motion 0, later samples move (the
+    # synth clips roll a gradient between frames)
+    vf = frames[frames["media_id"].isin(vid["media_id"])]
+    assert len(vf) > 0
+    first = vf[vf["frame_ms"] == 0]
+    assert (first["frame_rms"] == 0.0).all()
+    later = vf[vf["frame_ms"] > 0]
+    assert len(later) > 0 and (later["frame_rms"] > 0.005).all()
 
 
 def test_thumbnail_stage_and_query(ray_session):
@@ -358,12 +482,14 @@ def test_thumbnail_stage_and_query(ray_session):
     # stage-level: thumb decodes back to resize_nearest(original) —
     # exactly for the lossless formats, within the quantization error
     # bound for JPEG — re-encoded in the SOURCE format
+    from crawlingathome_server_ray.functions.media import split_mjpeg
     t = generate_media(7, 12)
     out = ThumbnailStage(column="payload", out_h=4, out_w=4)(t)
     for i in range(12):
         thumb = out.column("thumb")[i].as_py()
-        if t.column("kind")[i].as_py() == "image":
-            src = t.column("payload")[i].as_py()
+        kind = t.column("kind")[i].as_py()
+        src = t.column("payload")[i].as_py()
+        if kind == "image":
             fmt = sniff_format(src)
             dec = _IMAGE_DECODERS[fmt]
             assert sniff_format(thumb) == fmt
@@ -374,6 +500,17 @@ def test_thumbnail_stage_and_query(ray_session):
                 assert np.abs(got.astype(int) - want.astype(int)).mean() < 16
             else:
                 assert np.array_equal(got, want)
+        elif kind == "video":
+            # the thumbnail of an MJPEG clip is itself an MJPEG clip:
+            # one 4×4 JPEG frame per source frame
+            src_frames = split_mjpeg(src)
+            th_frames = split_mjpeg(thumb)
+            assert len(th_frames) == len(src_frames) >= 4
+            for sf_, tf in zip(src_frames, th_frames):
+                want = resize_nearest(_IMAGE_DECODERS["jpeg"](sf_), 4, 4)
+                got = _IMAGE_DECODERS["jpeg"](tf)
+                assert got.shape == want.shape
+                assert np.abs(got.astype(int) - want.astype(int)).mean() < 16
         else:
             assert thumb is None
 
@@ -381,12 +518,17 @@ def test_thumbnail_stage_and_query(ray_session):
     th = q_media_thumbnails(SF).to_pandas()
     img = th[th["kind"] == "image"]
     aud = th[th["kind"] == "audio"]
+    vid = th[th["kind"] == "video"]
     assert img["thumb"].notna().all() and aud["thumb"].isna().all()
+    assert vid["thumb"].notna().all()
     assert (img["thumb_h"] == 16).all() and (img["thumb_w"] == 16).all()
     fmts = {sniff_format(b) for b in img["thumb"].head(8)}
     assert fmts == {"bmp", "png", "jpeg"}
     for b in img["thumb"].head(6):
         assert _IMAGE_DECODERS[sniff_format(b)](b).shape == (16, 16, 3)
+    for b in vid["thumb"].head(2):
+        for fr in split_mjpeg(b):
+            assert _IMAGE_DECODERS["jpeg"](fr).shape == (16, 16, 3)
 
 
 def test_decode_stage_real_path(ray_session):
@@ -396,7 +538,7 @@ def test_decode_stage_real_path(ray_session):
     out = stage(t)
     w = out.column("width").to_pylist()
     fmt = out.column("format").to_pylist()
-    assert fmt[::2] == ["bmp", "png", "jpeg", "bmp"]
+    assert fmt[::2] == ["bmp", "png", "jpeg", "mjpeg"]
     assert fmt[1::2] == ["wav"] * 4
     assert all(8 <= x <= 48 for x in w[::2])
     with pytest.raises(NotImplementedError):  # MP3: the declared codec edge
