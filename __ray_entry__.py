@@ -33,16 +33,21 @@ from crawlingathome_server_ray.pipelines.docs_queries import (DOCS_QUERIES,
                                                               DOCS_SQL,
                                                               sql_binary_meta)
 from crawlingathome_server_ray.pipelines.frontier_core import pages_path
+from crawlingathome_server_ray.pipelines.link_queries import (LINK_QUERIES,
+                                                              link_oracle_sql)
 from crawlingathome_server_ray.pipelines.media_queries import MEDIA_QUERIES
 from crawlingathome_server_ray.pipelines.oracle import frontier_oracle_sql
 from crawlingathome_server_ray.pipelines.training_queries import (
     TRAINING_QUERIES, TRAINING_SQL)
+from crawlingathome_server_ray.sources.link_synth import ensure_links
 from crawlingathome_server_ray.sources.synth import ensure_frontier
 
-# the driver compares at sf0.01; materialize that frontier at import time so
-# the oracle SQL's read_parquet path exists regardless of evaluation order
+# the driver compares at sf0.01; materialize that frontier (and the link
+# table) at import time so the oracle SQL's read_parquet paths exist
+# regardless of evaluation order
 _SF_ORACLE = "/root/testdata/sf0.01"
 ensure_frontier(_SF_ORACLE)
+_LINKS_ROOT = ensure_links(_SF_ORACLE)
 
 _FRONTIER_QUERIES = {
     "url_canonicalize": _fq.q_url_canonicalize,
@@ -77,9 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(DOCS_QUERIES)
     out.update(CURATION_QUERIES)
     out.update(TRAINING_QUERIES)
-    # rows-only: real BMP/WAV decode — DuckDB cannot parse these formats;
-    # round-trip + golden coverage in tests/test_media.py
+    # rows-only: real BMP/PNG/JPEG/MJPEG/WAV decode — DuckDB cannot parse
+    # these formats; round-trip + golden coverage in tests/test_media.py
     out.update(MEDIA_QUERIES)
+    # link graph: extraction + host graph are SQL-oracled; pagerank is
+    # rows-only (iterative) with a dense numpy twin in tests/test_links.py
+    out.update(LINK_QUERIES)
     out["url_sample"] = q_url_sample
     return out
 
@@ -93,4 +101,7 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(TRAINING_SQL)
     sqls["binary_meta"] = sql_binary_meta(pages_path(_SF_ORACLE))
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
+    import os as _os
+    sqls.update(link_oracle_sql(
+        _os.path.join(_LINKS_ROOT, "linkpages", "*.parquet")))
     return sqls

@@ -1,0 +1,146 @@
+"""Link-graph family: synth determinism, the Arrow outlink-extraction
+kernel vs a re.findall twin, DuckDB oracle equivalence without Ray, the
+Ray queries end-to-end, and PageRank vs a dense numpy twin."""
+
+import os
+import re
+import tempfile
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crawlingathome_server_ray.functions.links import host_of, outlinks_batch
+from crawlingathome_server_ray.pipelines.link_queries import (
+    _host_edges_partial, link_oracle_sql)
+from crawlingathome_server_ray.sources.link_synth import generate_linkpages
+
+SF = "/root/testdata/sf0.001"
+
+
+def _twin_edges(t: pa.Table) -> list[tuple[str, str]]:
+    exp = []
+    for u, h in zip(t.column("url").to_pylist(),
+                    t.column("html").to_pylist()):
+        pre = re.match(r"^(https?://[^/]+)", u).group(1)
+        for link in re.findall(r'href="([^"]+)"', h.decode()):
+            exp.append((u, link if link.startswith("http") else pre + link))
+    return exp
+
+
+def test_linkpages_deterministic_and_shaped():
+    t = generate_linkpages(42, 400, 30)
+    assert t.equals(generate_linkpages(42, 400, 30))
+    htmls = t.column("html").to_pylist()
+    dangling = sum(1 for h in htmls if b"href" not in h)
+    assert 0.03 < dangling / len(htmls) < 0.25     # dangling hosts exist
+    # Zipf skew: host 0 hoards in-links
+    dst = host_of(outlinks_batch(t).column("dst_url").combine_chunks())
+    counts = {}
+    for h in dst.to_pylist():
+        counts[h] = counts.get(h, 0) + 1
+    top = max(counts.values())
+    assert top > 3 * (sum(counts.values()) / 30)   # ≫ uniform share
+
+
+def test_outlinks_kernel_twin_exact():
+    for seed in (1, 7, 42):
+        t = generate_linkpages(seed, 250, 20)
+        out = outlinks_batch(t)
+        got = list(zip(out.column("src_url").to_pylist(),
+                       out.column("dst_url").to_pylist()))
+        assert got == _twin_edges(t)   # order, duplicates and all
+
+
+def test_outlinks_edge_cases():
+    t = pa.table({
+        "url": pa.array(["https://x.org/a", "http://y.net/b/c"]),
+        "html": pa.array([
+            b"<html>no anchors at all</html>",
+            b'x<a href="/r">r</a><a href="/r">r</a>'
+            b'<a href="https://z.io/q?k=1#f">z</a>'], pa.binary())})
+    out = outlinks_batch(t)
+    assert out.column("src_url").to_pylist() == ["http://y.net/b/c"] * 3
+    assert out.column("dst_url").to_pylist() == [
+        "http://y.net/r", "http://y.net/r", "https://z.io/q?k=1#f"]
+    empty = outlinks_batch(t.slice(0, 1))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["src_url", "dst_url"]
+
+
+def test_link_oracles_exact_without_ray():
+    """The DuckDB SQL and the Arrow kernels state the same grammar."""
+    t = generate_linkpages(42, 300, 25)
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "p.parquet"))
+    sqls = link_oracle_sql(os.path.join(d, "*.parquet"))
+    con = duckdb.connect()
+    oe = (con.execute(sqls["outlink_extract"]).df()
+          .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
+    ge = (outlinks_batch(t).to_pandas()
+          .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
+    assert oe.equals(ge)
+    hg = (con.execute(sqls["host_link_graph"]).df()
+          .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    pg = (_host_edges_partial(outlinks_batch(t)).to_pandas()
+          .astype({"n_links": "int64"})
+          .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    assert hg.equals(pg[hg.columns])
+
+
+def test_link_queries_end_to_end(ray_session):
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        links_ds, q_host_link_graph, q_outlink_extract)
+    from crawlingathome_server_ray.sources.link_synth import ensure_links
+    root = ensure_links(SF)
+    sqls = link_oracle_sql(os.path.join(root, "linkpages", "*.parquet"))
+    con = duckdb.connect()
+    oe = (con.execute(sqls["outlink_extract"]).df()
+          .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
+    ge = (q_outlink_extract(SF).to_pandas()
+          .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
+    assert oe.equals(ge) and len(ge) > 1000
+    hg = (con.execute(sqls["host_link_graph"]).df()
+          .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    gg = (q_host_link_graph(SF).to_pandas().astype({"n_links": "int64"})
+          .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    assert hg.equals(gg[hg.columns])
+    # every page host appears in the universe even with zero anchors
+    n_pages = links_ds(SF).count()
+    assert n_pages >= 600
+
+
+def _dense_pagerank(edges, hosts, damping=0.85, n_iter=20):
+    """Spec-literal dense twin of pagerank_fit (same rounding rule)."""
+    n = len(hosts)
+    idx = {h: i for i, h in enumerate(hosts)}
+    w = np.zeros((n, n))
+    for s, t, c in edges:
+        w[idx[s], idx[t]] = c
+    out = w.sum(axis=1)
+    dang = out == 0
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        scaled = np.where(dang, 0.0, r / np.maximum(out, 1))
+        c = w.T @ scaled
+        r = (1.0 - damping) / n + damping * (c + r[dang].sum() / n)
+        r = np.round(r, 12)
+    return r
+
+
+def test_pagerank_dense_twin(ray_session):
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        pagerank_fit, q_host_link_graph)
+    got = pagerank_fit(SF)
+    hg = q_host_link_graph(SF).to_pandas()
+    edges = list(zip(hg["src_host"], hg["dst_host"], hg["n_links"]))
+    hosts = got["host"].tolist()
+    want = _dense_pagerank(edges, hosts)
+    assert np.allclose(got["rank"].to_numpy(), want, atol=2e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9        # probability mass
+    assert (got["rank"] > 0).all()
+    # the Zipf-head host outranks the median host decisively
+    r0 = got.loc[got["host"] == "h00000.crawl-test.org", "rank"].iloc[0]
+    assert r0 > 5 * got["rank"].median()
