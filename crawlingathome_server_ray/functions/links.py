@@ -30,9 +30,9 @@ def host_of(urls: pa.Array) -> pa.Array:
         urls, pattern=r"^https?://([^/]+).*$", replacement=r"\1")
 
 
-def outlinks_batch(batch: pa.Table) -> pa.Table:
-    """(url, html) rows → one (src_url, dst_url) row per anchor, in
-    document order, duplicates preserved (they are real edges)."""
+def _split_anchors(batch: pa.Table) -> tuple[pa.Array, pa.Array]:
+    """Shared anchor splitter: (src_url per anchor, candidate piece after
+    each ``href="`` delimiter — ``TARGET">anchor</a> ...``)."""
     urls = batch.column("url")
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
@@ -50,10 +50,36 @@ def outlinks_batch(batch: pa.Table) -> pa.Table:
     mask[off[:-1][np.diff(off) > 0]] = False
     cand = flat.filter(pa.array(mask))
     src = pa.array(src_idx[mask], pa.int64())
-    link = pc.list_element(pc.split_pattern(cand, '"', max_splits=1), 0)
-    src_url = urls.take(src)
+    return urls.take(src), cand
+
+
+def _resolve(src_url: pa.Array, link: pa.Array) -> pa.Array:
+    """Site-relative links get the source page's scheme://host prefix."""
     prefix = pc.replace_substring_regex(
         src_url, pattern=_HOST_PREFIX_RE, replacement=r"\1")
-    dst = pc.if_else(pc.starts_with(link, "http"), link,
-                     pc.binary_join_element_wise(prefix, link, ""))
-    return pa.table({"src_url": src_url, "dst_url": dst})
+    return pc.if_else(pc.starts_with(link, "http"), link,
+                      pc.binary_join_element_wise(prefix, link, ""))
+
+
+def outlinks_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) rows → one (src_url, dst_url) row per anchor, in
+    document order, duplicates preserved (they are real edges)."""
+    src_url, cand = _split_anchors(batch)
+    link = pc.list_element(pc.split_pattern(cand, '"', max_splits=1), 0)
+    return pa.table({"src_url": src_url,
+                     "dst_url": _resolve(src_url, link)})
+
+
+def anchors_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) rows → (src_url, dst_url, anchor) per anchor: the
+    link target plus the human-visible ``>anchor</a>`` text, both from
+    the same one-pass Arrow split (no second HTML scan)."""
+    src_url, cand = _split_anchors(batch)
+    halves = pc.split_pattern(cand, '"', max_splits=1)
+    link = pc.list_element(halves, 0)
+    rest = pc.list_element(halves, 1)                 # `>anchor</a> ...`
+    anchor = pc.replace_substring_regex(
+        rest, pattern=r"(?s)^>([^<]*)<.*$", replacement=r"\1")
+    return pa.table({"src_url": src_url,
+                     "dst_url": _resolve(src_url, link),
+                     "anchor": anchor})

@@ -130,6 +130,77 @@ def _dense_pagerank(edges, hosts, damping=0.85, n_iter=20):
     return r
 
 
+def test_anchors_kernel_twin_exact():
+    from crawlingathome_server_ray.functions.links import anchors_batch
+    for seed in (3, 42):
+        t = generate_linkpages(seed, 250, 20)
+        out = anchors_batch(t)
+        got = list(zip(out.column("src_url").to_pylist(),
+                       out.column("dst_url").to_pylist(),
+                       out.column("anchor").to_pylist()))
+        exp = []
+        for u, h in zip(t.column("url").to_pylist(),
+                        t.column("html").to_pylist()):
+            pre = re.match(r"^(https?://[^/]+)", u).group(1)
+            for link, a in re.findall(r'href="([^"]*)"[^>]*>([^<]*)<',
+                                      h.decode()):
+                exp.append((u, link if link.startswith("http")
+                            else pre + link, a))
+        assert got == exp
+
+
+def test_host_degree_consistent_with_graph(ray_session):
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        q_host_degree, q_host_link_graph)
+    hg = q_host_link_graph(SF).to_pandas()
+    deg = (q_host_degree(SF).to_pandas()
+           .set_index("host").astype("int64").sort_index())
+    out = hg.groupby("src_host").agg(out_links=("n_links", "sum"),
+                                     out_hosts=("dst_host", "count"))
+    inn = hg.groupby("dst_host").agg(in_links=("n_links", "sum"),
+                                     in_hosts=("src_host", "count"))
+    want = out.join(inn, how="outer").fillna(0).astype("int64").sort_index()
+    want.index.name = "host"
+    assert deg[want.columns].equals(want)
+    assert int(deg["out_links"].sum()) == int(deg["in_links"].sum())
+
+
+def _dense_hits(edges, hosts, n_iter=20):
+    """Spec-literal dense twin of hits_fit (same rounding rule)."""
+    n = len(hosts)
+    idx = {h: i for i, h in enumerate(hosts)}
+    w = np.zeros((n, n))
+    for s, t, c in edges:
+        w[idx[s], idx[t]] = c
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.full(n, 1.0 / np.sqrt(n))
+
+    def norm(v):
+        nv = np.linalg.norm(v)
+        return np.round(v / nv, 12) if nv > 0 else v
+
+    for _ in range(n_iter):
+        a = norm(w.T @ h)
+        h = norm(w @ a)
+    return a, h
+
+
+def test_hits_dense_twin(ray_session):
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        hits_fit, q_host_link_graph)
+    got = hits_fit(SF)
+    hg = q_host_link_graph(SF).to_pandas()
+    edges = list(zip(hg["src_host"], hg["dst_host"], hg["n_links"]))
+    hosts = got["host"].tolist()
+    a, h = _dense_hits(edges, hosts)
+    assert np.allclose(got["authority"].to_numpy(), a, atol=2e-12)
+    assert np.allclose(got["hub"].to_numpy(), h, atol=2e-12)
+    assert abs(np.linalg.norm(got["authority"]) - 1.0) < 1e-9
+    # the Zipf-head host is the top authority
+    assert got.loc[got["authority"].idxmax(), "host"] == \
+        "h00000.crawl-test.org"
+
+
 def test_pagerank_dense_twin(ray_session):
     from crawlingathome_server_ray.pipelines.link_queries import (
         pagerank_fit, q_host_link_graph)
