@@ -59,6 +59,7 @@ _FRONTIER_QUERIES = {
     "frontier_counters": _fq.q_frontier_counters,
     "host_heavy_hitters": _fq.q_host_heavy_hitters,
     "url_distinct_hll": _fq.q_url_distinct_hll,  # rows-only (approximate)
+    "recrawl_priority": _fq.q_recrawl_priority,
 }
 
 

@@ -567,6 +567,134 @@ def q_doc_lm_score(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
 
 
+# --------------------------------------------- DSIR importance selection
+DSIR_BUCKETS = 1024
+DSIR_K = 64
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(sf_dir: str, k: int = DSIR_K,
+                  n_buckets: int = DSIR_BUCKETS,
+                  target_lang: str = DSIR_TARGET_LANG):
+    """DSIR-style data selection (Xie et al. 2023, public): pick the k
+    docs whose hashed-unigram distribution is most target-like, where
+    the target is the ``lang == target_lang`` slice of the corpus.
+
+    Two streaming passes:
+
+    1. **feature models** — per-batch dense bucket-count vectors for
+       target and raw token streams (bucket = 60-bit md5 of the token
+       mod ``n_buckets``, the exact integer recipe the weighted-sample
+       oracle proves against DuckDB) → one tree-combine level → driver
+       final; driver state is two length-``n_buckets`` int vectors
+       regardless of corpus size. λ_b = ln-likelihood ratio with add-1
+       smoothing.
+    2. **score + select** — λ broadcast once (``ray.put``); each batch
+       scores its docs with one gather + scatter-add, keeps a per-batch
+       top-k, one shrink level, driver final (the bm25 shape). Zero-
+       token docs are excluded (they have no features, matching the
+       oracle's join semantics). Per module doctrine the float weight
+       orders but is never emitted — output is (doc_id, n_toks).
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        if len(toks) == 0:
+            t = r = np.zeros(n_buckets, np.int64)
+        else:
+            bk = ((md5_hash64(toks) >> np.uint64(4))
+                  % np.uint64(n_buckets)).astype(np.int64)
+            is_t = np.asarray(pc.equal(b.column("lang"),
+                                       target_lang))[doc_of]
+            r = np.bincount(bk, minlength=n_buckets)
+            t = np.bincount(bk[is_t], minlength=n_buckets)
+        return pa.table({
+            "t": pa.array([t.tolist()], pa.list_(pa.int64())),
+            "r": pa.array([r.tolist()], pa.list_(pa.int64()))})
+
+    def combine(bt: pa.Table) -> pa.Table:
+        t = np.asarray(bt.column("t").to_pylist(), np.int64).sum(axis=0)
+        r = np.asarray(bt.column("r").to_pylist(), np.int64).sum(axis=0)
+        return pa.table({
+            "t": pa.array([t.tolist()], pa.list_(pa.int64())),
+            "r": pa.array([r.tolist()], pa.list_(pa.int64()))})
+
+    parts = (ds.map_batches(counts, batch_format="pyarrow",
+                            batch_size=BATCH)
+             .map_batches(combine, batch_format="pyarrow", batch_size=64)
+             .take_all())
+    tb = np.sum([np.asarray(p["t"], np.int64) for p in parts], axis=0)
+    rb = np.sum([np.asarray(p["r"], np.int64) for p in parts], axis=0)
+    lam = (np.log((tb + 1.0) / (tb.sum() + n_buckets))
+           - np.log((rb + 1.0) / (rb.sum() + n_buckets)))
+    ref = ray.put(lam)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_toks": pa.array([], pa.int64()),
+                      "_w": pa.array([], pa.float64())})
+
+    def score(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        if len(toks) == 0:
+            return empty
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        bk = ((md5_hash64(toks) >> np.uint64(4))
+              % np.uint64(n_buckets)).astype(np.int64)
+        lam_ = ray.get(ref)
+        w = np.zeros(b.num_rows, np.float64)
+        np.add.at(w, doc_of, lam_[bk])
+        ntok = np.bincount(doc_of, minlength=b.num_rows)
+        order = np.lexsort((ids, -w))
+        order = order[ntok[order] > 0][:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "n_toks": pa.array(ntok[order].astype(np.int64), pa.int64()),
+            "_w": pa.array(w[order], pa.float64())})
+
+    def shrink(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["_w", "doc_id"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = (ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
+             .repartition(4)
+             .map_batches(shrink, batch_format="pyarrow", batch_size=None)
+             .to_pandas())  # ≤ 4·k rows
+    if "_w" not in cands.columns:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "n_toks": pd.array([], dtype="int64")})
+    out = (cands.sort_values(["_w", "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(k).drop(columns="_w"))
+    return out.reset_index(drop=True).astype({c: "int64"
+                                              for c in out.columns})
+
+
+SQL_DSIR = f"""
+WITH t AS (
+  SELECT doc_id, lang, unnest({SQL_TOKS}) AS term FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS UBIGINT)
+           % {DSIR_BUCKETS} AS bk
+  FROM t),
+c AS (
+  SELECT bk,
+         count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS tb,
+         count(*) AS rb
+  FROM b GROUP BY bk),
+tot AS (SELECT sum(tb)::DOUBLE AS tt, sum(rb)::DOUBLE AS rr FROM c),
+lam AS (
+  SELECT bk, ln((tb + 1.0) / (tt + {DSIR_BUCKETS}))
+           - ln((rb + 1.0) / (rr + {DSIR_BUCKETS})) AS l
+  FROM c, tot),
+sc AS (
+  SELECT doc_id, sum(l) AS w, CAST(count(*) AS BIGINT) AS n_toks
+  FROM b JOIN lam USING (bk) GROUP BY doc_id)
+SELECT doc_id, n_toks FROM sc ORDER BY w DESC, doc_id LIMIT {DSIR_K}"""
+
+
 CURATION_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
@@ -575,6 +703,7 @@ CURATION_QUERIES = {
     "doc_repeated_ngrams": q_doc_repeated_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
     "doc_lm_score": q_doc_lm_score,
+    "dsir_select": q_dsir_select,
 }
 
 CURATION_SQL = {
@@ -584,4 +713,5 @@ CURATION_SQL = {
     "doc_decontaminate": _sql_decontaminate(),
     "doc_repeated_ngrams": _sql_repeated_ngrams(),
     "doc_weighted_sample": SQL_WSAMPLE,
+    "dsir_select": SQL_DSIR,
 }

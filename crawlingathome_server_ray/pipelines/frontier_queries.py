@@ -132,3 +132,91 @@ def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         "n_hosts": pd.array([n_hosts], dtype="int64"),
         "n_round0": pd.array([n_round0], dtype="int64"),
     })
+
+
+RECRAWL_K = 100
+
+
+def q_recrawl_priority(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       k: int = RECRAWL_K):
+    """Recrawl scheduling: the k frontier URLs most worth re-fetching,
+    priority = staleness × host importance (age in µs since the newest
+    crawl × ln(1 + host page count) over deduped survivors).
+
+    Two streaming passes over the slim frontier: (1) per-batch (host, n,
+    max_ts) partials → one groupby-sum bounded by #hosts, collected and
+    broadcast once (``ray.put`` of two sorted arrays — the politeness
+    host-table class of driver state); (2) vectorized score + per-batch
+    top-k → one shrink level → driver final. The float priority orders
+    but is never emitted (module doctrine); output carries the exact
+    integers (age_us, host_pages) the oracle recomputes.
+
+    Reference analog: none — the reference crawls each WAT shard once
+    (models.py:31-32 closed is terminal); this is the recrawl-frequency
+    extension a continuous crawler needs."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    dedup = core.dedup_survivors(_slim(sf_dir, cfg)).select_columns(
+        ["url_canon", "host", "warc_ts"]).materialize()
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        return (b.select(["host", "warc_ts"])
+                .group_by("host")
+                .aggregate([("warc_ts", "count"), ("warc_ts", "max")])
+                .rename_columns(["host", "n", "mx"]))
+
+    hc = (dedup.map_batches(host_partial, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+          .groupby("host").aggregate(Sum("n", alias_name="host_pages"),
+                                     Max("mx", alias_name="mx"))
+          .to_pandas())               # bounded by #hosts
+    hosts_arr = hc["host"].to_numpy(dtype=object)
+    order = np.argsort(hosts_arr)
+    hosts_sorted = hosts_arr[order]
+    pages_sorted = hc["host_pages"].to_numpy(np.int64)[order]
+    max_us = int(pd.to_datetime(hc["mx"].max()).value // 1000)
+    ref = ray.put((hosts_sorted, pages_sorted))
+
+    empty = pa.table({"url_canon": pa.array([], pa.string()),
+                      "host": pa.array([], pa.string()),
+                      "age_us": pa.array([], pa.int64()),
+                      "host_pages": pa.array([], pa.int64()),
+                      "_p": pa.array([], pa.float64())})
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        hs, ps = ray.get(ref)
+        h = np.asarray(b.column("host"), dtype=object)
+        hp = ps[np.searchsorted(hs, h)]
+        ts = np.asarray(b.column("warc_ts").cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        age = max_us - ts
+        p = age.astype(np.float64) * np.log1p(hp.astype(np.float64))
+        u = np.asarray(b.column("url_canon"), dtype=object)
+        sel = np.lexsort((u, -p))[:k]
+        return pa.table({
+            "url_canon": pa.array(u[sel], pa.string()),
+            "host": pa.array(h[sel], pa.string()),
+            "age_us": pa.array(age[sel], pa.int64()),
+            "host_pages": pa.array(hp[sel], pa.int64()),
+            "_p": pa.array(p[sel], pa.float64())})
+
+    def shrink(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(["_p", "url_canon"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = (dedup.map_batches(score, batch_format="pyarrow",
+                               batch_size=cfg.batch_size)
+             .repartition(4)
+             .map_batches(shrink, batch_format="pyarrow", batch_size=None)
+             .to_pandas())            # ≤ 4·k rows
+    out = (cands.sort_values(["_p", "url_canon"], ascending=[False, True],
+                             kind="mergesort").head(k).drop(columns="_p"))
+    return out.reset_index(drop=True).astype(
+        {"age_us": "int64", "host_pages": "int64"})

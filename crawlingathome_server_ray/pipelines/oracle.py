@@ -51,7 +51,8 @@ WITH raw AS (
 
 def frontier_oracle_sql(pages_path: str = PAGES_SF001,
                         budget: int = DEFAULT_CONFIG.politeness_budget,
-                        seed: int = DEFAULT_CONFIG.seed) -> dict[str, str]:
+                        seed: int = DEFAULT_CONFIG.seed,
+                        recrawl_k: int = 100) -> dict[str, str]:
     cte = _CTE.format(pages=pages_path)
     return {
         "url_canonicalize": cte + """
@@ -93,4 +94,17 @@ SELECT (SELECT count(*) FROM canon)  AS n_pages,
        (SELECT count(*) FROM gated WHERE allowed)     AS n_allowed,
        (SELECT count(DISTINCT host) FROM gated WHERE allowed) AS n_hosts,
        (SELECT count(*) FROM ranked WHERE politeness_rank <= {budget}) AS n_round0""",
+
+        "recrawl_priority": cte + f""", hc AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS host_pages,
+         max(warc_ts) AS mx
+  FROM dedup GROUP BY host
+), mts AS (SELECT max(mx) AS m FROM hc)
+SELECT url_canon, d.host,
+       CAST(epoch_us(m) - epoch_us(d.warc_ts) AS BIGINT) AS age_us,
+       host_pages
+FROM dedup d JOIN hc ON d.host = hc.host, mts
+ORDER BY (epoch_us(m) - epoch_us(d.warc_ts)) * ln(1 + host_pages) DESC,
+         url_canon
+LIMIT {recrawl_k}""",
     }

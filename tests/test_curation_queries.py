@@ -130,3 +130,36 @@ def test_lm_score_flags_gibberish(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     bits = got["bits_per_trigram"].to_numpy()
     assert bits[-1] > bits[:-1].max() + 1.0
+
+
+def test_dsir_select_prefers_target_like_docs(ray_session, tmp_path):
+    """Engineered corpus: 'en' docs use vocabulary A, others vocabulary
+    B, plus B-docs written in vocabulary A ('target-like strays'). DSIR
+    must select A-vocabulary docs — including the strays — ahead of any
+    B-vocabulary doc."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    voc_a = [f"alpha{i}" for i in range(30)]
+    voc_b = [f"beta{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        if i < 20:          # target slice
+            lang, voc = "en", voc_a
+        elif i < 30:        # strays: raw lang, target vocabulary
+            lang, voc = "de", voc_a
+        else:
+            lang, voc = "de", voc_b
+        text = " ".join(rng.choice(voc, size=40))
+        rows.append((i, text, lang, "src0", len(text)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                     "source", "n_chars"])
+    d = tmp_path / "dsir"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = to_pandas(cq.q_dsir_select(str(d), k=30))
+    assert len(out) == 30
+    assert set(out.doc_id) == set(range(30))   # all A-vocab, no B-vocab
+    assert (out.n_toks == 40).all()

@@ -18,6 +18,7 @@ QUERIES = {
     "extract_text": fq.q_extract_text,
     "frontier_counters": fq.q_frontier_counters,
     "host_heavy_hitters": fq.q_host_heavy_hitters,
+    "recrawl_priority": fq.q_recrawl_priority,
 }
 
 
