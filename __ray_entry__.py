@@ -60,6 +60,7 @@ _FRONTIER_QUERIES = {
     "host_heavy_hitters": _fq.q_host_heavy_hitters,
     "url_distinct_hll": _fq.q_url_distinct_hll,  # rows-only (approximate)
     "recrawl_priority": _fq.q_recrawl_priority,
+    "url_pattern_mine": _fq.q_url_pattern_mine,
 }
 
 

@@ -220,3 +220,50 @@ def q_recrawl_priority(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                              kind="mergesort").head(k).drop(columns="_p"))
     return out.reset_index(drop=True).astype(
         {"age_us": "int64", "host_pages": "int64"})
+
+
+PATTERN_TOPK = 3
+
+
+def q_url_pattern_mine(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       k: int = PATTERN_TOPK, n_buckets: int = 64):
+    """URL structure mining: the top-k first path segments per host over
+    the canonicalized frontier (crawl analytics — which site sections
+    dominate a host's URL space). Per-batch (host, seg) partial counts →
+    ONE shuffle keyed by hash-bucket(host) (hosts never span buckets ⇒
+    exact totals; 64 groups, not one map_groups call per host) →
+    per-bucket exact sum + rank; the shuffle carries pre-combined
+    counts, never raw URLs."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        uc = b.column("url_canon")
+        if isinstance(uc, pa.ChunkedArray):
+            uc = uc.combine_chunks()
+        # canon always has "/" after the authority, so this always matches
+        seg = pc.replace_substring_regex(
+            uc, pattern=r"^[a-z]+://[^/]+/([^/?#]*).*$", replacement=r"\1")
+        g = (pa.table({"host": b.column("host"), "seg": seg})
+             .group_by(["host", "seg"]).aggregate([([], "count_all")]))
+        g = g.rename_columns(["host", "seg", "n"])
+        hosts = g.column("host").to_pandas().to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(hosts) % n_buckets).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["host", "seg"], sort=False, as_index=False)
+               ["n"].sum()
+               .sort_values(["host", "n", "seg"],
+                            ascending=[True, False, True],
+                            kind="mergesort"))
+        tot["seg_rank"] = (tot.groupby("host", sort=False)
+                           .cumcount() + 1).astype(np.int64)
+        tot = tot[tot["seg_rank"] <= k]
+        tot["n"] = tot["n"].astype("int64")
+        return tot[["host", "seg", "n", "seg_rank"]]
+
+    slim = _slim(sf_dir, cfg)
+    return (slim.map_batches(partial, batch_format="pyarrow",
+                             batch_size=cfg.batch_size)
+            .groupby("bucket").map_groups(final, batch_format="pandas"))

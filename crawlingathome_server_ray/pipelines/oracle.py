@@ -52,7 +52,8 @@ WITH raw AS (
 def frontier_oracle_sql(pages_path: str = PAGES_SF001,
                         budget: int = DEFAULT_CONFIG.politeness_budget,
                         seed: int = DEFAULT_CONFIG.seed,
-                        recrawl_k: int = 100) -> dict[str, str]:
+                        recrawl_k: int = 100,
+                        pattern_k: int = 3) -> dict[str, str]:
     cte = _CTE.format(pages=pages_path)
     return {
         "url_canonicalize": cte + """
@@ -107,4 +108,14 @@ FROM dedup d JOIN hc ON d.host = hc.host, mts
 ORDER BY (epoch_us(m) - epoch_us(d.warc_ts)) * ln(1 + host_pages) DESC,
          url_canon
 LIMIT {recrawl_k}""",
+
+        "url_pattern_mine": cte + f""", segs AS (
+  SELECT host,
+         regexp_extract(url_canon, '^[a-z]+://[^/]+/([^/?#]*)', 1) AS seg,
+         CAST(count(*) AS BIGINT) AS n
+  FROM canon GROUP BY 1, 2)
+SELECT host, seg, n,
+       row_number() OVER (PARTITION BY host
+                          ORDER BY n DESC, seg) AS seg_rank
+FROM segs QUALIFY seg_rank <= {pattern_k}""",
     }

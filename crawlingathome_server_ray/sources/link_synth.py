@@ -32,7 +32,9 @@ import pyarrow.parquet as pq
 
 from .synth import SF_SHAPE, sf_name
 
-_MARKER = "_DONE_v1"
+_MARKER = "_DONE_v2"   # v2: file count scales with table size so read
+# parallelism isn't capped at 4 tasks (measured: extraction at sf0.1 was
+# 4-way on a 32-CPU box)
 
 _WORDS = ("crawl index fetch parse shard queue merge spill batch stream "
           "robot sitemap anchor canonical frontier").split()
@@ -116,7 +118,7 @@ def ensure_links(sf_dir: str, seed: int = 42,
     tmp = tempfile.mkdtemp(dir=root, prefix=".build-")
     ldir = Path(tmp, "linkpages")
     ldir.mkdir()
-    n_files = 4
+    n_files = max(4, min(64, (n_pages + 8191) // 8192))
     step = (n_pages + n_files - 1) // n_files
     for i in range(n_files):
         sl = table.slice(i * step, step)

@@ -19,6 +19,7 @@ QUERIES = {
     "frontier_counters": fq.q_frontier_counters,
     "host_heavy_hitters": fq.q_host_heavy_hitters,
     "recrawl_priority": fq.q_recrawl_priority,
+    "url_pattern_mine": fq.q_url_pattern_mine,
 }
 
 

@@ -90,23 +90,25 @@ def test_link_oracles_exact_without_ray():
     assert hg.equals(pg[hg.columns])
 
 
-def test_link_queries_end_to_end(ray_session):
-    from crawlingathome_server_ray.pipelines.link_queries import (
-        links_ds, q_host_link_graph, q_outlink_extract)
+_ORACLED = ["outlink_extract", "host_link_graph", "anchor_text",
+            "host_degree", "reciprocal_hosts", "inlink_anchor_topk"]
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_link_query_matches_oracle(ray_session, name):
+    from conftest import assert_frames_match
+    from crawlingathome_server_ray.pipelines.link_queries import LINK_QUERIES
     from crawlingathome_server_ray.sources.link_synth import ensure_links
     root = ensure_links(SF)
     sqls = link_oracle_sql(os.path.join(root, "linkpages", "*.parquet"))
-    con = duckdb.connect()
-    oe = (con.execute(sqls["outlink_extract"]).df()
-          .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
-    ge = (q_outlink_extract(SF).to_pandas()
-          .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
-    assert oe.equals(ge) and len(ge) > 1000
-    hg = (con.execute(sqls["host_link_graph"]).df()
-          .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
-    gg = (q_host_link_graph(SF).to_pandas().astype({"n_links": "int64"})
-          .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
-    assert hg.equals(gg[hg.columns])
+    oracle = duckdb.connect().execute(sqls[name]).df()
+    assert_frames_match(LINK_QUERIES[name](SF), oracle, name)
+
+
+def test_link_queries_end_to_end(ray_session):
+    from crawlingathome_server_ray.pipelines.link_queries import links_ds
+    from crawlingathome_server_ray.sources.link_synth import ensure_links
+    ensure_links(SF)
     # every page host appears in the universe even with zero anchors
     n_pages = links_ds(SF).count()
     assert n_pages >= 600
