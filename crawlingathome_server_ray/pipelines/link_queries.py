@@ -172,10 +172,13 @@ class _EdgePool:
     def __init__(self, sf_dir: str, n_shards: int | None = None):
         graph = q_host_link_graph(sf_dir).materialize()
         self.hosts = _all_hosts(sf_dir, host_graph=graph)
-        hosts = self.hosts
-        n = len(hosts)
+        n = len(self.hosts)
+        # broadcast the host universe once (ray.put), never in a task
+        # closure — the closure pickles per task and hosts is O(#hosts)
+        hosts_ref = ray.put(self.hosts)
 
         def to_ids(batch: pa.Table) -> pa.Table:
+            hosts = ray.get(hosts_ref)
             s = np.searchsorted(hosts, np.asarray(batch.column("src_host")))
             d = np.searchsorted(hosts, np.asarray(batch.column("dst_host")))
             return pa.table({
@@ -329,7 +332,10 @@ def q_reciprocal_hosts(sf_dir: str):
 
     a = g.map_batches(fwd, batch_format="pyarrow", batch_size=LINK_BATCH)
     b = g.map_batches(rev, batch_format="pyarrow", batch_size=LINK_BATCH)
-    return a.join(b, join_type="inner", num_partitions=8,
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    return a.join(b, join_type="inner",
+                  num_partitions=max(8, min(64, cpus)),
                   on=("host_a", "host_b"))
 
 

@@ -166,6 +166,7 @@ def main() -> None:
     timed("doc_weighted_sample", lambda: cq.q_doc_weighted_sample(sf_dir))
     timed("bm25_topk", lambda: cq.q_bm25_topk(
         sf_dir, query_terms=("w0001", "w0042", "w1234")))
+    timed("dsir_select", lambda: cq.q_dsir_select(sf_dir))
     timed("doc_dedup_exact", lambda: dq.q_doc_dedup_exact(sf_dir))
     timed("minhash_dedup", lambda: dq.q_minhash_dedup(sf_dir))
     timed("simhash_pairs", lambda: dq.q_simhash_pairs(sf_dir))
