@@ -40,14 +40,16 @@ from crawlingathome_server_ray.pipelines.oracle import frontier_oracle_sql
 from crawlingathome_server_ray.pipelines.training_queries import (
     TRAINING_QUERIES, TRAINING_SQL)
 from crawlingathome_server_ray.sources.link_synth import ensure_links
-from crawlingathome_server_ray.sources.synth import ensure_frontier
+from crawlingathome_server_ray.sources.synth import (ensure_frontier,
+                                                     ensure_snapshot2)
 
 # the driver compares at sf0.01; materialize that frontier (and the link
-# table) at import time so the oracle SQL's read_parquet paths exist
-# regardless of evaluation order
+# table + snapshot B) at import time so the oracle SQL's read_parquet
+# paths exist regardless of evaluation order
 _SF_ORACLE = "/root/testdata/sf0.01"
 ensure_frontier(_SF_ORACLE)
 _LINKS_ROOT = ensure_links(_SF_ORACLE)
+_SNAP2_PATH = ensure_snapshot2(_SF_ORACLE)
 
 _FRONTIER_QUERIES = {
     "url_canonicalize": _fq.q_url_canonicalize,
@@ -61,6 +63,7 @@ _FRONTIER_QUERIES = {
     "url_distinct_hll": _fq.q_url_distinct_hll,  # rows-only (approximate)
     "recrawl_priority": _fq.q_recrawl_priority,
     "url_pattern_mine": _fq.q_url_pattern_mine,
+    "snapshot_delta": _fq.q_snapshot_delta,
 }
 
 
@@ -102,6 +105,8 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(CURATION_SQL)
     sqls.update(TRAINING_SQL)
     sqls["binary_meta"] = sql_binary_meta(pages_path(_SF_ORACLE))
+    sqls["snapshot_delta"] = _fq.sql_snapshot_delta(
+        pages_path(_SF_ORACLE), _SNAP2_PATH)
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     import os as _os
     sqls.update(link_oracle_sql(

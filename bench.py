@@ -49,8 +49,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # page cache once (both are cached under /tmp; generation is a
     # one-time cost the suite must not bill to its first pass)
     from crawlingathome_server_ray.sources.link_synth import ensure_links
+    from crawlingathome_server_ray.sources.synth import ensure_snapshot2
     frontier = ensure_frontier(sf_dir)
     ensure_links(sf_dir)
+    ensure_snapshot2(sf_dir)
     import glob as _glob
     for part in _glob.glob(os.path.join(frontier, "pages", "*.parquet")):
         with open(part, "rb") as f:
@@ -158,6 +160,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timed("dsir_select", lambda: consume(cu.q_dsir_select(sf_dir)))
         timed("recrawl_priority",
               lambda: consume(fq.q_recrawl_priority(sf_dir)))
+        # late round 4: continuous-crawl + data-mix family
+        timed("frontier_expand",
+              lambda: consume(lq.q_frontier_expand(sf_dir)))
+        timed("snapshot_delta",
+              lambda: consume(fq.q_snapshot_delta(sf_dir)))
+        timed("lang_mix_sample",
+              lambda: consume(cu.q_lang_mix_sample(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

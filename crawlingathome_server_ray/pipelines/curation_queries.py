@@ -502,6 +502,62 @@ WITH keyed AS (
 SELECT doc_id FROM keyed ORDER BY e, doc_id LIMIT {WSAMPLE_K}"""
 
 
+# ------------------------------------------------- language-mix rebalance
+def q_lang_mix_sample(sf_dir: str):
+    """Deterministic corpus rebalancing to a uniform language mixture
+    (the multilingual-training data-mix step; CCNet/DoReMi downsample
+    the over-represented slices the same way): per-language accept rate
+    r_l = n_min / n_l — the largest proportional downsampling with no
+    upsampling — applied as a pure function of doc_id (a 60-bit md5
+    uniform, the ``doc_weighted_sample`` key construction), so the
+    sample is reproducible row-for-row in SQL.
+
+    Two streaming passes: (1) per-batch language partial counts → one
+    groupby-sum bounded by #languages, collected once; (2) vectorized
+    keep-mask per batch (rates mapped via searchsorted, no Python row
+    loop). No shuffle touches document text; pass 2 reads only
+    (doc_id, lang)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=BATCH)
+              .groupby("lang").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())                       # bounded by #languages
+    langs = counts["lang"].to_numpy(dtype=object)
+    order = np.argsort(langs)
+    langs_sorted = langs[order]
+    n = counts["n"].to_numpy(np.float64)[order]
+    rates = float(n.min()) / n                    # n_min / n_l, float64
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        lg = np.asarray(b.column("lang"), dtype=object)
+        r = rates[np.searchsorted(langs_sorted, lg)]
+        h = md5_hash64(np.char.mod("%d", ids))
+        u = (h >> np.uint64(4)).astype(np.float64) / np.float64(2 ** 60)
+        keep = u < r
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "lang": pa.array(lg[keep], pa.string())})
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_LANG_MIX = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang), m
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS UBIGINT) / 1152921504606846976.0
+      < CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)"""
+
+
 # -------------------------------------------------- char-trigram LM score
 def q_doc_lm_score(sf_dir: str):
     """CCNet-style LM quality score, two distributed passes:
@@ -702,6 +758,7 @@ CURATION_QUERIES = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_repeated_ngrams": q_doc_repeated_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "lang_mix_sample": q_lang_mix_sample,
     "doc_lm_score": q_doc_lm_score,
     "dsir_select": q_dsir_select,
 }
@@ -713,5 +770,6 @@ CURATION_SQL = {
     "doc_decontaminate": _sql_decontaminate(),
     "doc_repeated_ngrams": _sql_repeated_ngrams(),
     "doc_weighted_sample": SQL_WSAMPLE,
+    "lang_mix_sample": SQL_LANG_MIX,
     "dsir_select": SQL_DSIR,
 }

@@ -222,6 +222,88 @@ def q_recrawl_priority(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         {"age_us": "int64", "host_pages": "int64"})
 
 
+def q_snapshot_delta(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Incremental-crawl snapshot delta: which URLs were added, removed,
+    or content-changed between crawl snapshot A (the pages frontier) and
+    snapshot B (``sources/synth.ensure_snapshot2`` — a pure url-keyed
+    derivation, so the oracle only reads the two parquet trees).
+
+    ONE shuffle total: each side is slimmed per batch to distinct
+    (url, content-hash) rows with its hash in a side-specific nullable
+    column, the two Datasets union, and a single ``groupby(url)`` with
+    null-ignoring Max folds both sides — no join operator, no driver
+    set. Status falls out vectorized: hb null → removed, ha null →
+    added, both present but different → changed; unchanged rows are
+    dropped in-map. Content identity is the first 8 bytes of md5(text)
+    (``md5_hash64``), exactly reproducible in DuckDB.
+
+    Reference analog: none — the reference crawls each shard once
+    (models.py:31-32); this is the snapshot-diff a continuous crawler
+    runs between recrawl rounds to size its update frontier."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from ..functions.canonicalize import md5_hash64
+    from ..sources.synth import ensure_snapshot2, frontier_dir
+    import os
+
+    p2 = ensure_snapshot2(sf_dir)
+    p1 = os.path.join(frontier_dir(sf_dir), "pages")
+
+    def hashed(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            h = md5_hash64(b.column("text")).view(np.int64)
+            t = (pa.table({"url": b.column("url"),
+                           "h": pa.array(h, pa.int64())})
+                 .group_by(["url", "h"]).aggregate([]))       # local distinct
+            n = t.num_rows
+            ha = t.column("h") if side == "a" else pa.nulls(n, pa.int64())
+            hb = t.column("h") if side == "b" else pa.nulls(n, pa.int64())
+            return pa.table({"url": t.column("url"), "ha": ha, "hb": hb})
+        return fn
+
+    a = ray.data.read_parquet(p1, columns=["url", "text"]).map_batches(
+        hashed("a"), batch_format="pyarrow", batch_size=cfg.batch_size)
+    b = ray.data.read_parquet(p2, columns=["url", "text"]).map_batches(
+        hashed("b"), batch_format="pyarrow", batch_size=cfg.batch_size)
+    folded = a.union(b).groupby("url").aggregate(
+        Max("ha", alias_name="ha"), Max("hb", alias_name="hb"))
+
+    def verdict(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ha, hb = b.column("ha"), b.column("hb")
+        removed = pc.is_null(hb)
+        added = pc.is_null(ha)
+        changed = pc.fill_null(pc.not_equal(ha, hb), False)
+        keep = pc.or_(pc.or_(removed, added), changed)
+        status = pc.if_else(removed, pa.scalar("removed"),
+                            pc.if_else(added, pa.scalar("added"),
+                                       pa.scalar("changed")))
+        return pa.table({"url": b.column("url"),
+                         "status": status}).filter(keep)
+
+    return folded.map_batches(verdict, batch_format="pyarrow",
+                              batch_size=cfg.batch_size)
+
+
+def sql_snapshot_delta(pages_path: str, pages2_path: str) -> str:
+    """DuckDB oracle: full outer join of the two snapshots' distinct
+    (url, md5(text)) projections. The Ray side compares the first 8
+    bytes of the same md5, so (in)equality verdicts are identical."""
+    return f"""
+WITH a AS (SELECT DISTINCT url, md5(text) AS h
+           FROM read_parquet('{pages_path}/*.parquet')),
+     b AS (SELECT DISTINCT url, md5(text) AS h
+           FROM read_parquet('{pages2_path}/*.parquet'))
+SELECT coalesce(a.url, b.url) AS url,
+       CASE WHEN b.url IS NULL THEN 'removed'
+            WHEN a.url IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.url = b.url
+WHERE b.url IS NULL OR a.url IS NULL OR a.h <> b.h"""
+
+
 PATTERN_TOPK = 3
 
 

@@ -382,6 +382,45 @@ def q_inlink_anchor_topk(sf_dir: str, k: int = ANCHOR_TOPK,
             .groupby("bucket").map_groups(final, batch_format="pandas"))
 
 
+def q_frontier_expand(sf_dir: str):
+    """Next-wave frontier expansion — the crawl loop's missing edge:
+    aggregate every outlink target into (url, n_inlinks) support counts
+    (per-batch Arrow partial counts → one bounded groupby-sum, the
+    top_bigrams combiner shape), then drop targets already crawled with
+    a native LEFT ANTI hash join against the url-column-only read of the
+    page table (the seen set never touches the driver). Output: the
+    uncrawled candidate URLs with their inlink support — what a
+    continuous crawler feeds back into the frontier, priority-weighted
+    by how many crawled pages point at them.
+
+    Reference analog: the reference's frontier is a FIXED WAT shard list
+    (update_db.py:31-40); discovered-link expansion is the capability a
+    self-sustaining crawler adds on top."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({"url": b.column("dst_url")})
+             .group_by("url").aggregate([([], "count_all")]))
+        return g.rename_columns(["url", "n"])
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    n_parts = max(8, min(64, cpus))
+    cand = (q_outlink_extract(sf_dir)
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=LINK_BATCH)
+            .groupby("url").aggregate(Sum("n", alias_name="n_inlinks"))
+            # repartition between the groupby and the join: groupby
+            # outputs can carry schema-less empty blocks that crash a
+            # JoinOperator build side (the q_minhash_dedup guard)
+            .repartition(n_parts))
+    root = ensure_links(sf_dir)
+    crawled = ray.data.read_parquet(os.path.join(root, "linkpages"),
+                                    columns=["url"])
+    return cand.join(crawled, join_type="left_anti",
+                     num_partitions=n_parts, on=("url",))
+
+
 def q_host_pagerank(sf_dir: str):
     """Rows-only: (host, rank), damping 0.85, 20 iterations; twin-tested
     against a dense numpy transition-matrix PageRank in tests."""
@@ -415,6 +454,13 @@ def link_oracle_sql(linkpages_glob: str) -> dict[str, str]:
     return {
         "outlink_extract": edges,
         "host_link_graph": host_graph,
+        "frontier_expand": f"""
+          WITH c AS (
+            SELECT dst_url AS url, CAST(count(*) AS BIGINT) AS n_inlinks
+            FROM ({edges}) GROUP BY 1)
+          SELECT url, n_inlinks FROM c
+          WHERE url NOT IN
+            (SELECT url FROM read_parquet('{linkpages_glob}'))""",
         "anchor_text": f"""
           SELECT src_url,
                  CASE WHEN link LIKE 'http%' THEN link
@@ -484,6 +530,7 @@ LINK_QUERIES = {
     "host_degree": q_host_degree,
     "reciprocal_hosts": q_reciprocal_hosts,
     "inlink_anchor_topk": q_inlink_anchor_topk,
+    "frontier_expand": q_frontier_expand,
     "host_pagerank": q_host_pagerank,   # rows-only (iterative)
     "host_hits": q_host_hits,           # rows-only (iterative)
 }

@@ -173,6 +173,89 @@ def generate_seed_list(seed: int, pages: pa.Table) -> pa.Table:
                     schema=SEED_LIST_SCHEMA)
 
 
+_SNAP_DAY_US = 30 * 86_400_000_000  # snapshot B recrawl lag: 30 days
+
+
+def generate_snapshot2(pages: pa.Table) -> pa.Table:
+    """Derive crawl snapshot B from snapshot A (the pages table) as a pure
+    function of each row's url — no RNG, so the DuckDB oracle for the
+    snapshot-delta operator never needs to reproduce this code, only to
+    read both parquet trees:
+
+    - md5(url) first hex digit '0'  → page gone in B (removed);
+    - first hex digit '1'           → content changed (text + " v2",
+      html re-wrapped so the extract invariant still holds);
+    - first hex digit '2'           → B additionally gained a NEW sibling
+      url (``?v=2`` query variant) — the 'added' leg;
+    - everything else unchanged (same text; warc_ts still advances —
+      a recrawl observes old content at a new time, and the delta is
+      defined on CONTENT hashes, not timestamps).
+    """
+    from ..functions.canonicalize import md5_hash64
+
+    urls = np.asarray(pages.column("url"), dtype=object)
+    digit = (md5_hash64(pa.array(urls, pa.string()))
+             >> np.uint64(60)).astype(np.int64)
+    ts = np.asarray(pages.column("warc_ts").cast(pa.int64())) + _SNAP_DAY_US
+    texts = np.asarray(pages.column("text"), dtype=object)
+    langs = np.asarray(pages.column("lang"), dtype=object)
+
+    keep = digit != 0
+    changed = digit == 1
+    out_urls: list[str] = []
+    out_ts: list[int] = []
+    out_text: list[str] = []
+    out_lang: list[str] = []
+    for i in np.flatnonzero(keep):
+        t = texts[i] + " v2" if changed[i] else texts[i]
+        out_urls.append(urls[i]); out_ts.append(int(ts[i]))
+        out_text.append(t); out_lang.append(langs[i])
+    for i in np.flatnonzero(digit == 2):
+        u = urls[i]
+        out_urls.append(u + ("&v=2" if "?" in u else "?v=2"))
+        out_ts.append(int(ts[i]) + 1)
+        out_text.append(texts[i] + " new")
+        out_lang.append(langs[i])
+    html = [HTML_PREFIX + t.encode("ascii") + HTML_SUFFIX for t in out_text]
+    return pa.table({
+        "url": pa.array(out_urls, pa.string()),
+        "warc_ts": pa.array(np.asarray(out_ts, np.int64), pa.timestamp("us")),
+        "html": pa.array(html, pa.binary()),
+        "text": pa.array(out_text, pa.string()),
+        "lang": pa.array(out_lang, pa.string()),
+    }, schema=PAGES_SCHEMA)
+
+
+def ensure_snapshot2(sf_dir: str, seed: int = 42,
+                     root: str = "/tmp/graft_frontier") -> str:
+    """Idempotently materialize crawl snapshot B next to the frontier
+    (``<root>/<sf>/pages2/``); returns the pages2 directory."""
+    import shutil
+    out_root = ensure_frontier(sf_dir, seed, root)
+    p2 = os.path.join(out_root, "pages2")
+    done = os.path.join(out_root, "_DONE_SNAP2")
+    if os.path.exists(done):
+        return p2
+    import pyarrow.parquet as _pq
+    import pyarrow.dataset as pads
+    pages = pads.dataset(os.path.join(out_root, "pages")).to_table()
+    snap = generate_snapshot2(pages)
+    tmp = tempfile.mkdtemp(dir=out_root, prefix=".snap2-")
+    n_files = max(4, min(32, snap.num_rows // 50_000 or 4))
+    step = (snap.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        sl = snap.slice(i * step, step)
+        if sl.num_rows:
+            _pq.write_table(sl, os.path.join(tmp, f"part-{i:04d}.parquet"),
+                            row_group_size=max(8192, step // 4))
+    try:
+        os.rename(tmp, p2)
+        Path(done).touch()
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return p2
+
+
 def sf_name(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return base if base in SF_SHAPE else "sf0.01"

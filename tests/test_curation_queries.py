@@ -163,3 +163,31 @@ def test_dsir_select_prefers_target_like_docs(ray_session, tmp_path):
     assert len(out) == 30
     assert set(out.doc_id) == set(range(30))   # all A-vocab, no B-vocab
     assert (out.n_toks == 40).all()
+
+
+def test_lang_mix_sample_balances_and_keeps_rarest(ray_session):
+    """The rarest language survives entirely (rate 1.0), every language's
+    output is a subset of its input, and the output mix is near-uniform
+    (each language's expected count is n_min)."""
+    import pandas as pd
+    from crawlingathome_server_ray.pipelines.curation_queries import \
+        q_lang_mix_sample
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out = q_lang_mix_sample(sf).to_pandas()
+    n_in = docs.groupby("lang").size()
+    n_out = out.groupby("lang").size().reindex(n_in.index, fill_value=0)
+    rare = n_in.idxmin()
+    assert n_out[rare] == n_in[rare]              # rarest kept fully
+    assert (n_out <= n_in).all()
+    # each language's count concentrates around n_min (binomial, 5σ)
+    n_min = int(n_in.min())
+    for lang in n_in.index:
+        sd = (n_min * max(0.0, 1 - n_min / n_in[lang])) ** 0.5
+        assert abs(n_out[lang] - n_min) <= 5 * sd + 1, (lang, n_out[lang])
+    # pure function of the data: a second run is identical
+    again = q_lang_mix_sample(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))

@@ -45,3 +45,40 @@ def test_dedup_bucketed_equals_broadcast(ray_session):
     import pandas as pd
     cols = ["url", "warc_ts", "url_canon", "host"]
     pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_snapshot_delta_matches_oracle(ray_session):
+    from crawlingathome_server_ray.sources.synth import ensure_snapshot2
+    p2 = ensure_snapshot2(SF)
+    sql = fq.sql_snapshot_delta(pages_path(SF), p2)
+    assert_frames_match(fq.q_snapshot_delta(SF), duckdb.sql(sql).df(),
+                        "snapshot_delta")
+
+
+def test_snapshot_delta_text_equality_twin(ray_session):
+    """Independent pandas twin comparing the TEXTS directly (no md5):
+    validates that the hash-compare delta equals the text-compare delta
+    — i.e. the 64-bit content hash introduces no verdict error."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    from crawlingathome_server_ray.sources.synth import (ensure_snapshot2,
+                                                         frontier_dir)
+    import os
+    p2 = ensure_snapshot2(SF)
+    p1 = os.path.join(frontier_dir(SF), "pages")
+    a = pads.dataset(p1).to_table(columns=["url", "text"]).to_pandas() \
+        .drop_duplicates("url").set_index("url")["text"]
+    b = pads.dataset(p2).to_table(columns=["url", "text"]).to_pandas() \
+        .drop_duplicates("url").set_index("url")["text"]
+    removed = set(a.index) - set(b.index)
+    added = set(b.index) - set(a.index)
+    both = a.index.intersection(b.index)
+    changed = set(both[(a.loc[both] != b.loc[both]).to_numpy()])
+    assert removed and added and changed          # every leg is exercised
+    out = fq.q_snapshot_delta(SF).to_pandas()
+    got = {s: set(g["url"]) for s, g in out.groupby("status")}
+    assert got.get("removed", set()) == removed
+    assert got.get("added", set()) == added
+    assert got.get("changed", set()) == changed
+    # unchanged urls never appear
+    assert len(out) == len(removed) + len(added) + len(changed)

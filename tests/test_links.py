@@ -91,7 +91,24 @@ def test_link_oracles_exact_without_ray():
 
 
 _ORACLED = ["outlink_extract", "host_link_graph", "anchor_text",
-            "host_degree", "reciprocal_hosts", "inlink_anchor_topk"]
+            "host_degree", "reciprocal_hosts", "inlink_anchor_topk",
+            "frontier_expand"]
+
+
+def test_frontier_expand_excludes_crawled(ray_session):
+    """Every expansion candidate is a real outlink target, none is an
+    already-crawled page, and inlink support sums to the number of
+    edges pointing outside the crawled set."""
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        LINK_QUERIES, links_ds, q_outlink_extract)
+    crawled = set(links_ds(SF).unique("url"))
+    out = LINK_QUERIES["frontier_expand"](SF).to_pandas()
+    cand = set(out["url"])
+    assert cand and not (cand & crawled)
+    edges = q_outlink_extract(SF).to_pandas()
+    outside = edges[~edges["dst_url"].isin(crawled)]
+    assert set(outside["dst_url"]) == cand
+    assert out["n_inlinks"].sum() == len(outside)
 
 
 @pytest.mark.parametrize("name", _ORACLED)
