@@ -123,6 +123,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timed("events_window_count",
               lambda: consume(ANALYTICS_QUERIES["events_window_count"](sf_dir)))
         timed("doc_dedup_exact", lambda: consume(dq.q_doc_dedup_exact(sf_dir)))
+        timed("doc_dedup_keep_best",
+              lambda: consume(dq.q_doc_dedup_keep_best(sf_dir)))
         timed("minhash_dedup", lambda: consume(dq.q_minhash_dedup(sf_dir)))
         timed("simhash_pairs", lambda: consume(dq.q_simhash_pairs(sf_dir)))
         timed("ngram_jaccard_dup", lambda: consume(dq.q_ngram_jaccard_dup(sf_dir)))

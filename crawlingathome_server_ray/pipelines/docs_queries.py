@@ -127,26 +127,83 @@ def q_doc_normalize(sf_dir: str):
     ``nfc_normalize`` — parity pinned in ``test_normalize_engineered``).
     Emits ``changed`` so a downstream filter can skip rewriting
     untouched rows."""
-    import unicodedata
-
     def norm(b: pa.Table) -> pa.Table:
-        t = b.column("text")
-        if isinstance(t, pa.ChunkedArray):
-            t = t.combine_chunks()
-        non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
-        idx = np.nonzero(np.asarray(non_ascii))[0]
-        if len(idx):
-            arr = np.asarray(t, dtype=object)
-            for i in idx:
-                arr[i] = unicodedata.normalize("NFC", arr[i])
-            t = pa.array(arr, pa.string())
-        out = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            pc.utf8_lower(t), r"\s+", " "))
+        out = _norm_text(b.column("text"))
         return pa.table({"doc_id": b.column("doc_id"), "norm_text": out,
                          "changed": pc.not_equal(out, b.column("text"))})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         norm, batch_format="pyarrow", batch_size=BATCH)
+
+
+def _norm_text(t) -> pa.Array:
+    """The q_doc_normalize kernel as a reusable array→array transform
+    (NFC → lower → collapse whitespace → trim; see q_doc_normalize's
+    docstring for the ASCII fast path rationale)."""
+    import unicodedata
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    non_ascii = pc.match_substring_regex(t, r"[^\x00-\x7F]")
+    idx = np.nonzero(np.asarray(non_ascii))[0]
+    if len(idx):
+        arr = np.asarray(t, dtype=object)
+        for i in idx:
+            arr[i] = unicodedata.normalize("NFC", arr[i])
+        t = pa.array(arr, pa.string())
+    return pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(t), r"\s+", " "))
+
+
+def q_doc_dedup_keep_best(sf_dir: str):
+    """Best-wins dedup on NORMALIZED text — the curation variant of
+    first-wins: raw texts that differ only in case/whitespace/unicode
+    form collide after normalization, and the survivor is the RICHEST
+    original (max character count, doc_id as the deterministic
+    tie-break), not merely the first seen.
+
+    Same two-phase shape as q_doc_dedup_exact (one slim shuffle, one
+    row per distinct normalized text per block): the lexicographic
+    argmax (n_chars DESC, doc_id ASC) packs into a single int64 —
+    ``n_chars·2³¹ + (2³¹−1−doc_id)`` — so the distributed fold is a
+    plain groupby-max, no per-group map_groups. The packing bound
+    (both < 2³¹) is asserted per batch; texts never shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    HALF = np.int64(1) << np.int64(31)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        n_chars = np.asarray(pc.utf8_length(
+            b.column("text").combine_chunks()
+            if isinstance(b.column("text"), pa.ChunkedArray)
+            else b.column("text")), np.int64)
+        assert (ids < HALF).all() and (n_chars < HALF).all(), \
+            "int64 argmax packing bound exceeded (see docstring)"
+        key = n_chars * HALF + (HALF - 1 - ids)
+        h = np.asarray(md5_hex(_norm_text(b.column("text"))))
+        df = pd.DataFrame({"h": h, "key": key})
+        out = df.groupby("h", sort=False)["key"].max().reset_index()
+        return pa.table({"h": pa.array(out["h"], pa.string()),
+                         "key": pa.array(out["key"].to_numpy(), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=BATCH)
+           .groupby("h").max("key"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        key = np.asarray(b.column("max(key)"), np.int64)
+        return pa.table({
+            "doc_id": pa.array(HALF - 1 - (key % HALF), pa.int64()),
+            "n_chars": pa.array(key // HALF, pa.int64())})
+
+    return agg.map_batches(decode, batch_format="pyarrow",
+                           batch_size=65536)
+
+
+SQL_DOC_DEDUP_BEST = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY trim(regexp_replace(lower(nfc_normalize(text)),
+                                   '\s+', ' ', 'g'))
+  ORDER BY length(text) DESC, doc_id) = 1"""
 
 
 SQL_DOC_NORMALIZE = r"""
@@ -1117,6 +1174,7 @@ FROM read_parquet('{pages_path}/*.parquet')"""
 
 DOCS_QUERIES = {
     "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_dedup_keep_best": q_doc_dedup_keep_best,
     "token_count": q_token_count,
     "token_count_bpe": q_token_count_bpe,
     "doc_quality": q_doc_quality,
@@ -1144,6 +1202,7 @@ DOCS_QUERIES = {
 
 DOCS_SQL = {
     "doc_dedup_exact": SQL_DOC_DEDUP,
+    "doc_dedup_keep_best": SQL_DOC_DEDUP_BEST,
     "token_count": SQL_TOKEN_COUNT,
     "token_count_bpe": _sql_token_count_bpe(),
     "doc_quality": SQL_DOC_QUALITY,

@@ -454,3 +454,41 @@ def test_scrub_pipeline_dedups_normalized_variants(ray_session, tmp_path):
     assert 3 in kept and 4 in kept and 5 not in kept
     assert int(got.set_index(got["doc_id"].astype(int))
                .loc[4, "n_pii"]) == 1
+
+
+def test_dedup_keep_best_prefers_richest_original(ray_session, tmp_path):
+    """Engineered collisions: case/whitespace/NFC variants of one
+    sentence collide after normalization and the survivor is the
+    longest ORIGINAL (doc_id tie-break), not the first seen — the
+    distinguishing behavior vs first-wins. Verified against the DuckDB
+    oracle on the same engineered table."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = [
+        "The Quick  Brown Fox",        # 0: doubled space, mixed case
+        "the quick brown fox",         # 1: already canonical (short)
+        "  THE QUICK BROWN FOX  ",     # 2: padded + upper → LONGEST (24)
+        "a completely different doc",  # 3: its own group
+        "the quick brown fox",         # 4: exact twin of 1 (tie → min id)
+        "café crawl",             # 5: composed é
+        "café crawl",            # 6: decomposed é → NFC-collides w/ 5
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = to_pandas(dq.DOCS_QUERIES["doc_dedup_keep_best"](str(tmp_path)))
+    winners = dict(zip(got["doc_id"], got["n_chars"]))
+    # fox group: doc 2 (23 chars incl. padding) beats all
+    assert winners.get(2) == 23 and {0, 1, 4}.isdisjoint(winners)
+    assert 3 in winners
+    # café group: equal length after the tie (10 vs 11)? doc 6 is longer
+    # in raw chars (decomposed é = 2 code points)
+    assert winners.get(6) == 11 and 5 not in winners
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    from conftest import assert_frames_match
+    assert_frames_match(got, con.execute(
+        dq.DOCS_SQL["doc_dedup_keep_best"]).df(), "doc_dedup_keep_best")
