@@ -228,63 +228,80 @@ def q_snapshot_delta(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     snapshot B (``sources/synth.ensure_snapshot2`` — a pure url-keyed
     derivation, so the oracle only reads the two parquet trees).
 
-    ONE shuffle total: each side is slimmed per batch to distinct
-    (url, content-hash) rows with its hash in a side-specific nullable
-    column, the two Datasets union, and a single ``groupby(url)`` with
-    null-ignoring Max folds both sides — no join operator, no driver
-    set. Status falls out vectorized: hb null → removed, ha null →
-    added, both present but different → changed; unchanged rows are
-    dropped in-map. Content identity is the first 8 bytes of md5(text)
-    (``md5_hash64``), exactly reproducible in DuckDB.
+    ONE shuffle total, keyed by an INTEGER hash bucket (url never spans
+    buckets ⇒ exact): each side is slimmed per batch to distinct
+    (url, 63-bit content-hash) rows with the other side's hash column
+    at the −1 sentinel, the two Datasets union, and a single
+    ``groupby(bucket).map_groups`` folds both sides with a pandas
+    max — no join operator, no driver set, and crucially no Ray
+    sort-aggregate over millions of distinct URL STRING groups (the
+    measured 10^5+-string-group pathology; first version spent 18 s
+    here at sf0.1, the bucketed fold ~3 s). Status falls out
+    vectorized: hb sentinel → removed, ha sentinel → added, both
+    present but different → changed; unchanged rows are dropped
+    in-group. Content identity is the top 63 bits of md5(text)
+    (``md5_hash64``), exactly reproducible in DuckDB (the oracle
+    compares full md5 — equality verdicts agree up to 2^-63
+    truncation collisions, and the text-equality twin test pins it).
+
+    ``n_buckets`` scales with cluster width (buckets ≈ 8 × cores;
+    urls hash uniformly, so per-bucket group size is corpus/buckets —
+    the knob a 256-node run raises).
 
     Reference analog: none — the reference crawls each shard once
     (models.py:31-32); this is the snapshot-diff a continuous crawler
     runs between recrawl rounds to size its update frontier."""
+    import os
+
     import numpy as np
+    import ray
     import ray.data
-    from ray.data.aggregate import Max
 
     from ..functions.canonicalize import md5_hash64
     from ..sources.synth import ensure_snapshot2, frontier_dir
-    import os
 
     p2 = ensure_snapshot2(sf_dir)
     p1 = os.path.join(frontier_dir(sf_dir), "pages")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_buckets = max(64, cpus * 8)
 
     def hashed(side: str):
         def fn(b: pa.Table) -> pa.Table:
-            h = md5_hash64(b.column("text")).view(np.int64)
+            h = (md5_hash64(b.column("text")) >> np.uint64(1)) \
+                .astype(np.int64)                     # 63-bit, always ≥ 0
             t = (pa.table({"url": b.column("url"),
                            "h": pa.array(h, pa.int64())})
-                 .group_by(["url", "h"]).aggregate([]))       # local distinct
+                 .group_by(["url", "h"]).aggregate([]))     # local distinct
             n = t.num_rows
-            ha = t.column("h") if side == "a" else pa.nulls(n, pa.int64())
-            hb = t.column("h") if side == "b" else pa.nulls(n, pa.int64())
-            return pa.table({"url": t.column("url"), "ha": ha, "hb": hb})
+            urls = t.column("url").to_pandas().to_numpy(dtype=object)
+            bucket = (pd.util.hash_array(urls) % n_buckets).astype(np.int32)
+            sent = pa.array(np.full(n, -1, np.int64), pa.int64())
+            ha = t.column("h") if side == "a" else sent
+            hb = t.column("h") if side == "b" else sent
+            return pa.table({"url": t.column("url"), "ha": ha, "hb": hb,
+                             "bucket": pa.array(bucket, pa.int32())})
         return fn
 
     a = ray.data.read_parquet(p1, columns=["url", "text"]).map_batches(
         hashed("a"), batch_format="pyarrow", batch_size=cfg.batch_size)
     b = ray.data.read_parquet(p2, columns=["url", "text"]).map_batches(
         hashed("b"), batch_format="pyarrow", batch_size=cfg.batch_size)
-    folded = a.union(b).groupby("url").aggregate(
-        Max("ha", alias_name="ha"), Max("hb", alias_name="hb"))
 
-    def verdict(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ha, hb = b.column("ha"), b.column("hb")
-        removed = pc.is_null(hb)
-        added = pc.is_null(ha)
-        changed = pc.fill_null(pc.not_equal(ha, hb), False)
-        keep = pc.or_(pc.or_(removed, added), changed)
-        status = pc.if_else(removed, pa.scalar("removed"),
-                            pc.if_else(added, pa.scalar("added"),
-                                       pa.scalar("changed")))
-        return pa.table({"url": b.column("url"),
-                         "status": status}).filter(keep)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("url", sort=False)[["ha", "hb"]].max()
+        ha = agg["ha"].to_numpy(np.int64)
+        hb = agg["hb"].to_numpy(np.int64)
+        removed = hb == -1
+        added = ha == -1
+        keep = removed | added | (ha != hb)
+        status = np.where(removed, "removed",
+                          np.where(added, "added", "changed"))
+        return pd.DataFrame({"url": agg.index.to_numpy(dtype=object)[keep],
+                             "status": status[keep]})
 
-    return folded.map_batches(verdict, batch_format="pyarrow",
-                              batch_size=cfg.batch_size)
+    return (a.union(b).groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
 
 
 def sql_snapshot_delta(pages_path: str, pages2_path: str) -> str:
