@@ -82,13 +82,23 @@ def main() -> None:
     timed("host_degree", lambda: lq.q_host_degree(sf_dir))
     timed("reciprocal_hosts", lambda: lq.q_reciprocal_hosts(sf_dir))
     timed("inlink_anchor_topk", lambda: lq.q_inlink_anchor_topk(sf_dir))
+    timed("frontier_expand", lambda: lq.q_frontier_expand(sf_dir))
+
+    # snapshot delta rides the pages frontier of the same scale factor
+    from crawlingathome_server_ray.pipelines import frontier_queries as fq
+    from crawlingathome_server_ray.sources.synth import ensure_snapshot2
+    t0 = time.time()
+    ensure_snapshot2(sf_dir)
+    snap_gen_s = round(time.time() - t0, 1)
+    timed("snapshot_delta", lambda: fq.q_snapshot_delta(sf_dir))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "links_scale_bench", "value": total, "unit": "sec",
         "queries": times, "rows": rows, "n_pages": n_pages,
-        "n_hosts": n_hosts, "gen_s": gen_s, "num_cpus": num_cpus, "sf": sf}))
+        "n_hosts": n_hosts, "gen_s": gen_s, "snap_gen_s": snap_gen_s,
+        "num_cpus": num_cpus, "sf": sf}))
 
 
 if __name__ == "__main__":
