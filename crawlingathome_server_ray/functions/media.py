@@ -269,14 +269,94 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
             + b"data" + u32(n) + data)
 
 
+# --- G.711 companded audio (WAVE_FORMAT_ALAW=6 / WAVE_FORMAT_MULAW=7) ---
+# Real compressed-audio decode: 8-bit logarithmic PCM expanded to int16
+# via the ITU-T G.711 segment formulas. Decode is a 256-entry LUT take
+# (vectorized); encode is the algorithmic companding, fully vectorized.
+_G711_BIAS = 0x84
+
+
+def _build_ulaw_lut() -> np.ndarray:
+    b = np.arange(256, dtype=np.int32) ^ 0xFF          # wire bytes invert
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((mant << 3) + _G711_BIAS) << exp) - _G711_BIAS
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_lut() -> np.ndarray:
+    b = np.arange(256, dtype=np.int32) ^ 0x55          # even-bit toggle
+    sign = (b & 0x80) != 0                             # A-law: set ⇒ POSITIVE
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_ULAW_LUT = _build_ulaw_lut()
+_ALAW_LUT = _build_alaw_lut()
+
+
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 → µ-law bytes (G.711), vectorized."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + _G711_BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)   # mag ≥ 0x84 ⇒ ≥ 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((sign | (exp << 4) | mant) ^ 0xFF).astype(np.uint8)
+
+
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF,
+                          0xFFF], np.int32)
+
+
+def alaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 → A-law bytes (G.711, canonical 13-bit segment search;
+    sign bit in the wire byte is 0x80^0x55 for POSITIVE), vectorized."""
+    x = samples.astype(np.int32) >> 3                  # 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    x = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, x)            # ≤ 7 (x ≤ 0xFFF)
+    shift = np.where(seg < 2, 1, seg)
+    aval = (seg << 4) | ((x >> shift) & 0x0F)
+    return (aval ^ mask).astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """Encode int16 mono samples as a companded G.711 RIFF/WAVE file
+    (format code 7 = µ-law, 6 = A-law; 8 bits per sample — real 2:1
+    compressed audio, unlike the PCM16 baseline)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav_g711 expects 1-D int16 samples")
+    fmt, data = ((7, ulaw_compress(samples)) if law == "ulaw"
+                 else (6, alaw_compress(samples)))
+    raw = data.tobytes()
+    n = len(raw)
+
+    def u32(x): return np.uint32(x).tobytes()
+    def u16(x): return np.uint16(x).tobytes()
+
+    return (b"RIFF" + u32(36 + n + (n & 1)) + b"WAVE"
+            + b"fmt " + u32(16) + u16(fmt) + u16(1) + u32(rate)
+            + u32(rate) + u16(1) + u16(8)
+            + b"data" + u32(n) + raw + (b"\0" if n & 1 else b""))
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a RIFF/WAVE PCM16 mono payload → (rate, int16 samples).
+    """Decode a RIFF/WAVE mono payload → (rate, int16 samples): PCM16
+    (format 1) plus real G.711 µ-law / A-law expansion (formats 7 / 6,
+    8-bit companded → int16 via the ITU segment LUTs).
     Walks the chunk list properly (fmt/data may be in any order, with
-    vendor chunks between); rejects non-PCM and multi-channel loudly."""
+    vendor chunks between); rejects other codecs and multi-channel
+    loudly."""
     buf = np.frombuffer(payload, np.uint8)
     if len(buf) < 44 or bytes(buf[0:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
         raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
-    pos, rate, samples = 12, None, None
+    pos, rate, fmt, raw = 12, None, None, None
     while pos + 8 <= len(buf):
         cid = bytes(buf[pos:pos + 4])
         size = int(buf[pos + 4:pos + 8].view(np.uint32)[0])
@@ -285,17 +365,23 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             fmt = int(body[0:2].view(np.uint16)[0])
             channels = int(body[2:4].view(np.uint16)[0])
             bits = int(body[14:16].view(np.uint16)[0])
-            if fmt != 1 or channels != 1 or bits != 16:
+            if (fmt, bits) not in ((1, 16), (6, 8), (7, 8)) or channels != 1:
                 raise NotImplementedError(
-                    f"only PCM16 mono supported (fmt={fmt}, "
+                    f"only PCM16 / G.711 mono supported (fmt={fmt}, "
                     f"channels={channels}, bits={bits})")
             rate = int(body[4:8].view(np.uint32)[0])
         elif cid == b"data":
-            samples = body[:size - size % 2].view(np.int16)
+            raw = body[:size]
         pos += 8 + size + (size & 1)                             # chunks pad to even
-    if rate is None or samples is None:
+    if rate is None or raw is None or fmt is None:
         raise ValueError("WAV missing fmt or data chunk")
-    return rate, samples.copy()
+    if fmt == 1:
+        samples = raw[:len(raw) - len(raw) % 2].view(np.int16).copy()
+    elif fmt == 7:
+        samples = _ULAW_LUT[raw]
+    else:
+        samples = _ALAW_LUT[raw]
+    return rate, samples
 
 
 def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:

@@ -30,12 +30,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.media import (encode_bmp, encode_jpeg, encode_mjpeg,
-                               encode_png, encode_wav)
+                               encode_png, encode_wav, encode_wav_g711)
 from .synth import SF_SHAPE, sf_name
 
-_MARKER = "_DONE_v4"  # v4: even rows cycle BMP / PNG / JPEG / MJPEG video
+_MARKER = "_DONE_v5"  # v5: audio rows cycle PCM16 / G.711 ulaw / alaw
 
 _IMAGE_ROTATION = ("bmp", "png", "jpeg", "mjpeg")
+_AUDIO_ROTATION = ("pcm16", "ulaw", "alaw")
 
 
 def media_rows_for(sf_dir: str) -> int:
@@ -77,7 +78,8 @@ def _make_clip(rng: np.random.Generator) -> bytes:
     return encode_mjpeg(frames)
 
 
-def _make_audio(rng: np.random.Generator, rate: int = 8000) -> bytes:
+def _make_audio(rng: np.random.Generator, rate: int = 8000,
+                codec: str = "pcm16") -> bytes:
     n = int(rng.integers(rate // 10, rate // 2))          # 0.1–0.5 s
     t = np.arange(n) / rate
     f1 = float(rng.integers(100, 1500))
@@ -85,7 +87,10 @@ def _make_audio(rng: np.random.Generator, rate: int = 8000) -> bytes:
     x = (0.5 * np.sin(2 * np.pi * f1 * t)
          + 0.3 * np.sin(2 * np.pi * f2 * t)
          + 0.05 * rng.standard_normal(n))
-    return encode_wav((np.clip(x, -1, 1) * 32767).astype(np.int16), rate)
+    samples = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    if codec == "pcm16":
+        return encode_wav(samples, rate)
+    return encode_wav_g711(samples, rate, codec)
 
 
 def generate_media(seed: int, n_rows: int) -> pa.Table:
@@ -104,7 +109,8 @@ def generate_media(seed: int, n_rows: int) -> pa.Table:
                 payloads.append(_make_image(rng, fmt))
         else:
             kinds.append("audio")
-            payloads.append(_make_audio(rng))
+            codec = _AUDIO_ROTATION[(i // 2) % len(_AUDIO_ROTATION)]
+            payloads.append(_make_audio(rng, codec=codec))
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "kind": pa.array(kinds, pa.string()),
                      "payload": pa.array(payloads, pa.binary())})

@@ -543,3 +543,60 @@ def test_decode_stage_real_path(ray_session):
     assert all(8 <= x <= 48 for x in w[::2])
     with pytest.raises(NotImplementedError):  # MP3: the declared codec edge
         stage._decode_real(b"\xff\xfb\x90\x00mp3-frame-sync-bytes")
+
+
+# ------------------------------------------------------------- G.711 audio
+def test_g711_lut_consistency():
+    """The classic G.711 identity: compressing every decoded byte value
+    reproduces the byte. A-law holds for all 256; u-law for 255 — wire
+    byte 0x7F is 'negative zero', whose decoded 0 re-encodes as the
+    positive zero code (the documented two-zero-codes property)."""
+    import numpy as np
+    from crawlingathome_server_ray.functions.media import (
+        _ALAW_LUT, _ULAW_LUT, alaw_compress, ulaw_compress)
+    b = np.arange(256, dtype=np.uint8)
+    assert (alaw_compress(_ALAW_LUT[b]) == b).all()
+    bad = np.nonzero(ulaw_compress(_ULAW_LUT[b]) != b)[0]
+    assert list(bad) == [0x7F] and _ULAW_LUT[0x7F] == 0
+
+
+def test_g711_wav_roundtrip_error_bound():
+    """Companded 8-bit audio decodes within the codec's logarithmic
+    error envelope (~1/16 relative for u-law's 4-bit mantissa, ~1/8 for
+    A-law's first segment), and the full WAV container round-trips."""
+    import numpy as np
+    from crawlingathome_server_ray.functions.media import (decode_wav,
+                                                           encode_wav_g711)
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(8000) * 9000).clip(-32768, 32767) \
+        .astype(np.int16)
+    for law, bound in [("ulaw", 0.07), ("alaw", 0.13)]:
+        payload = encode_wav_g711(x, 8000, law)
+        rate, y = decode_wav(payload)
+        assert rate == 8000 and len(y) == len(x)
+        rel = (np.abs(y.astype(np.int32) - x.astype(np.int32))
+               / np.maximum(np.abs(x.astype(np.int32)), 64))
+        assert float(rel.max()) <= bound, (law, float(rel.max()))
+        # half the byte rate of PCM16 plus the fixed 44-byte header
+        assert len(payload) <= 44 + len(x) + 2
+
+
+def test_media_table_mixes_audio_codecs(ray_session):
+    """The synthetic media table's audio rows cycle PCM16 / ulaw / alaw
+    and every one decodes through the stats stage."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    from crawlingathome_server_ray.functions.media import decode_wav
+    from crawlingathome_server_ray.sources.media_synth import ensure_media
+    root = ensure_media("/root/testdata/sf0.001")
+    t = pads.dataset(f"{root}/media").to_table()
+    fmts = set()
+    for kind, payload in zip(t.column("kind").to_pylist(),
+                             t.column("payload").to_pylist()):
+        if kind != "audio":
+            continue
+        fmt = int(np.frombuffer(payload[20:22], np.uint16)[0])
+        fmts.add(fmt)
+        rate, samples = decode_wav(payload)       # every codec decodes
+        assert rate == 8000 and len(samples) > 0
+    assert fmts == {1, 6, 7}
