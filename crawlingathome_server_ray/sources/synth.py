@@ -238,7 +238,9 @@ def ensure_snapshot2(sf_dir: str, seed: int = 42,
         return p2
     import pyarrow.parquet as _pq
     import pyarrow.dataset as pads
-    pages = pads.dataset(os.path.join(out_root, "pages")).to_table()
+    # html is re-derived from the transformed text, so never load it
+    pages = pads.dataset(os.path.join(out_root, "pages")).to_table(
+        columns=["url", "warc_ts", "text", "lang"])
     snap = generate_snapshot2(pages)
     tmp = tempfile.mkdtemp(dir=out_root, prefix=".snap2-")
     n_files = max(4, min(32, snap.num_rows // 50_000 or 4))
