@@ -600,3 +600,32 @@ def test_media_table_mixes_audio_codecs(ray_session):
         rate, samples = decode_wav(payload)       # every codec decodes
         assert rate == 8000 and len(samples) > 0
     assert fmts == {1, 6, 7}
+
+
+def test_g711_matches_stdlib_audioop():
+    """Independent canonical oracle: CPython's audioop implements the
+    Sun/ITU G.711 reference. Decode LUTs must be BIT-IDENTICAL for all
+    256 byte values in both laws; A-law encode bit-identical across the
+    full int16 domain; u-law encode may differ from the reference only
+    on negative segment-boundary samples (audioop's `-x` vs this
+    module's biased-magnitude rounding) — every disagreement must be an
+    adjacent code whose decode is at least as close to the input."""
+    audioop = pytest.importorskip("audioop")  # stdlib, deprecated 3.11+
+    import numpy as np
+    from crawlingathome_server_ray.functions.media import (
+        _ALAW_LUT, _ULAW_LUT, alaw_compress, ulaw_compress)
+    b = bytes(range(256))
+    assert (_ULAW_LUT[np.arange(256)]
+            == np.frombuffer(audioop.ulaw2lin(b, 2), np.int16)).all()
+    assert (_ALAW_LUT[np.arange(256)]
+            == np.frombuffer(audioop.alaw2lin(b, 2), np.int16)).all()
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    assert (alaw_compress(x) == np.frombuffer(
+        audioop.lin2alaw(x.tobytes(), 2), np.uint8)).all()
+    ref = np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), np.uint8)
+    mine = ulaw_compress(x)
+    d = np.nonzero(ref != mine)[0]
+    assert len(d) < 0.01 * len(x)
+    err_ref = np.abs(_ULAW_LUT[ref[d]].astype(int) - x[d].astype(int))
+    err_mine = np.abs(_ULAW_LUT[mine[d]].astype(int) - x[d].astype(int))
+    assert (err_mine <= err_ref).all()
