@@ -462,14 +462,48 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                  "n_tokens": n})
 
             if s1_files:
-                tok = ray.data.read_parquet(
+                # ONE streaming launch: read → tokens → hive write (no
+                # wave-wide materialize holding the stage-2 table in the
+                # object store). The per-partition token sums then come
+                # from a SLIM re-read of just the two integer columns of
+                # the files this wave just wrote — at hex2/wave64 the old
+                # materialize+write+groupby shape was three pipeline
+                # launches per wave, a measured core-count-invariant
+                # ~6.7 s/wave slice of the gpu phase (BASELINE.md hex2
+                # decomposition).
+                ray.data.read_parquet(
                     s1_files, columns=["url_canon", "lang", "text_extracted",
                                        "partition_id"]).map_batches(
                     tokens, batch_format="pyarrow",
-                    batch_size=cfg.batch_size).materialize()
-                tok.write_parquet(stage2_root, partition_cols=["partition_id"])
-                for row in tok.groupby("partition_id").sum("n_tokens").take_all():
-                    pairs_by_pid[int(row["partition_id"])] = int(row["sum(n_tokens)"])
+                    batch_size=cfg.batch_size).write_parquet(
+                    stage2_root, partition_cols=["partition_id"])
+                s2_files = sorted(
+                    str(f) for p in gpu_pids
+                    for f in Path(stage2_root,
+                                  f"partition_id={p}").glob("*.parquet"))
+                slim = ray.data.read_parquet(s2_files, columns=["n_tokens"],
+                                             include_paths=True)
+
+                def sum_partial(b: pa.Table) -> pa.Table:
+                    # partition_id is hive-encoded in the file path; one
+                    # row per (file-derived pid) per batch
+                    import re as _re
+                    paths, inv = np.unique(
+                        np.asarray(b.column("path"), dtype=object),
+                        return_inverse=True)         # ≈1 distinct per file
+                    per_path = np.fromiter(
+                        (int(_re.search(r"partition_id=(\d+)", p).group(1))
+                         for p in paths), np.int32, len(paths))
+                    pids = per_path[inv]
+                    t = pa.table({"partition_id": pa.array(pids, pa.int32()),
+                                  "n": b.column("n_tokens")})
+                    g = t.group_by("partition_id").aggregate([("n", "sum")])
+                    return g.rename_columns(["partition_id", "n"])
+
+                parts = (slim.map_batches(sum_partial, batch_format="pyarrow",
+                                          batch_size=65536).to_pandas())
+                for pid, n in parts.groupby("partition_id")["n"].sum().items():
+                    pairs_by_pid[int(pid)] = int(n)
             tp = _mark("gpu_stage", tp)
 
         # ---- per-partition close (state machine + counters + lineage) ----
