@@ -48,6 +48,12 @@ SF_SHAPE = {
     # N-vs-4N comparison measures the streaming pipeline itself
     "sfbench": (2_400_000, 20_000),
     "sfscale": (9_600_000, 80_000),
+    # late round 4: the gpu-stage launch fold made the pipeline ~3x
+    # faster at sfscale (T8 107 -> 60 s), so the FIXED sfscale input no
+    # longer amortizes the session/wave floor and the strong-scaling
+    # ratio compresses (Amdahl fixed-work artifact). sfxl restores the
+    # work-per-core of the original measurement design.
+    "sfxl": (19_200_000, 160_000),
 }
 
 _BASE_EPOCH_US = 1_614_556_800_000_000  # 2021-03-01T00:00:00Z
