@@ -471,12 +471,19 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                 # launches per wave, a measured core-count-invariant
                 # ~6.7 s/wave slice of the gpu phase (BASELINE.md hex2
                 # decomposition).
+                # max_retries=0 on the write: the per-pid token sums below
+                # are derived by globbing the files this launch writes — a
+                # write task retried after flushing a part file would leave
+                # a stray duplicate the glob double-counts (same rationale
+                # as the cpu stage: a lost task fails the wave, resume
+                # replays from the manifest).
                 ray.data.read_parquet(
                     s1_files, columns=["url_canon", "lang", "text_extracted",
                                        "partition_id"]).map_batches(
                     tokens, batch_format="pyarrow",
                     batch_size=cfg.batch_size).write_parquet(
-                    stage2_root, partition_cols=["partition_id"])
+                    stage2_root, partition_cols=["partition_id"],
+                    ray_remote_args={"max_retries": 0})
                 s2_files = sorted(
                     str(f) for p in gpu_pids
                     for f in Path(stage2_root,

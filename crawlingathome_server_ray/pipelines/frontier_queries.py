@@ -289,6 +289,25 @@ def q_snapshot_delta(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         hashed("b"), batch_format="pyarrow", batch_size=cfg.batch_size)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # contract: each url carries ONE content hash per snapshot.  The
+        # DuckDB oracle full-outer-joins DISTINCT (url, md5) rows, so a
+        # url with two different texts inside one snapshot would make the
+        # oracle emit multiple rows while the max-fold below collapses to
+        # one — assert the precondition instead of silently diverging.
+        # (Rows here are per-BATCH-distinct (url, h) only, so the same
+        # pair can arrive once per input batch — dedup globally first,
+        # then a url with k>1 distinct hashes on a side keeps k rows.)
+        gd = g.drop_duplicates(["url", "ha", "hb"])
+        na = (gd.assign(_a=(gd["ha"].to_numpy(np.int64) != -1).astype(np.int64),
+                        _b=(gd["hb"].to_numpy(np.int64) != -1).astype(np.int64))
+              .groupby("url", sort=False)[["_a", "_b"]].sum())
+        if (na.to_numpy(np.int64) > 1).any():
+            bad = na.index[(na["_a"] > 1) | (na["_b"] > 1)][:3].tolist()
+            raise ValueError(
+                "snapshot_delta: url(s) with multiple distinct content "
+                f"hashes within one snapshot (e.g. {bad}); the delta is "
+                "defined on single-version snapshots — dedup upstream "
+                "(doc_dedup_keep_best) before diffing")
         agg = g.groupby("url", sort=False)[["ha", "hb"]].max()
         ha = agg["ha"].to_numpy(np.int64)
         hb = agg["hb"].to_numpy(np.int64)

@@ -102,9 +102,15 @@ def q_host_link_graph(sf_dir: str):
             g = _host_edges_partial(b)
             src = g.column("src_host").to_pandas().to_numpy(dtype=object)
             dst = g.column("dst_host").to_pandas().to_numpy(dtype=object)
-            bucket = ((pd.util.hash_array(src)
-                       ^ pd.util.hash_array(dst)) % n_buckets) \
-                .astype(np.int32)
+            # asymmetric combiner (golden-ratio multiply on the src hash):
+            # a plain XOR maps every self-loop edge (src == dst, the most
+            # common edge class in web graphs) to bucket 0 — the exact
+            # group-skew pathology this bucketed fold exists to avoid
+            with np.errstate(over="ignore"):
+                mixed = (pd.util.hash_array(src)
+                         * np.uint64(0x9E3779B97F4A7C15)
+                         ^ pd.util.hash_array(dst))
+            bucket = (mixed % n_buckets).astype(np.int32)
             return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
         def fold(g: pd.DataFrame) -> pd.DataFrame:

@@ -182,11 +182,15 @@ def generate_seed_list(seed: int, pages: pa.Table) -> pa.Table:
 _SNAP_DAY_US = 30 * 86_400_000_000  # snapshot B recrawl lag: 30 days
 
 
-def generate_snapshot2(pages: pa.Table) -> pa.Table:
-    """Derive crawl snapshot B from snapshot A (the pages table) as a pure
-    function of each row's url — no RNG, so the DuckDB oracle for the
-    snapshot-delta operator never needs to reproduce this code, only to
-    read both parquet trees:
+def snapshot2_batch(b: pa.Table) -> pa.Table:
+    """Derive crawl snapshot B from one batch of snapshot A (the pages
+    table) as a pure VECTORIZED function of each row's url — no RNG and
+    no cross-row state, so (a) the DuckDB oracle for the snapshot-delta
+    operator never needs to reproduce this code, only to read both
+    parquet trees, and (b) the derivation streams through ``map_batches``
+    at any scale (the first version materialized the whole pages table on
+    the driver and built rows in a Python loop: measured 162 s at sfbench
+    2.4M rows; this Arrow-kernel path is the fix):
 
     - md5(url) first hex digit '0'  → page gone in B (removed);
     - first hex digit '1'           → content changed (text + " v2",
@@ -197,70 +201,97 @@ def generate_snapshot2(pages: pa.Table) -> pa.Table:
       a recrawl observes old content at a new time, and the delta is
       defined on CONTENT hashes, not timestamps).
     """
+    import pyarrow.compute as pc
+
     from ..functions.canonicalize import md5_hash64
 
-    urls = np.asarray(pages.column("url"), dtype=object)
-    digit = (md5_hash64(pa.array(urls, pa.string()))
-             >> np.uint64(60)).astype(np.int64)
-    ts = np.asarray(pages.column("warc_ts").cast(pa.int64())) + _SNAP_DAY_US
-    texts = np.asarray(pages.column("text"), dtype=object)
-    langs = np.asarray(pages.column("lang"), dtype=object)
+    url = b.column("url").combine_chunks() \
+        if isinstance(b.column("url"), pa.ChunkedArray) else b.column("url")
+    text = b.column("text").combine_chunks() \
+        if isinstance(b.column("text"), pa.ChunkedArray) else b.column("text")
+    lang = b.column("lang")
+    digit = (md5_hash64(url) >> np.uint64(60)).astype(np.int64)
+    ts = b.column("warc_ts").cast(pa.int64()).to_numpy() + _SNAP_DAY_US
 
-    keep = digit != 0
-    changed = digit == 1
-    out_urls: list[str] = []
-    out_ts: list[int] = []
-    out_text: list[str] = []
-    out_lang: list[str] = []
-    for i in np.flatnonzero(keep):
-        t = texts[i] + " v2" if changed[i] else texts[i]
-        out_urls.append(urls[i]); out_ts.append(int(ts[i]))
-        out_text.append(t); out_lang.append(langs[i])
-    for i in np.flatnonzero(digit == 2):
-        u = urls[i]
-        out_urls.append(u + ("&v=2" if "?" in u else "?v=2"))
-        out_ts.append(int(ts[i]) + 1)
-        out_text.append(texts[i] + " new")
-        out_lang.append(langs[i])
-    html = [HTML_PREFIX + t.encode("ascii") + HTML_SUFFIX for t in out_text]
-    return pa.table({
-        "url": pa.array(out_urls, pa.string()),
-        "warc_ts": pa.array(np.asarray(out_ts, np.int64), pa.timestamp("us")),
-        "html": pa.array(html, pa.binary()),
-        "text": pa.array(out_text, pa.string()),
-        "lang": pa.array(out_lang, pa.string()),
-    }, schema=PAGES_SCHEMA)
+    def _html(text_arr: pa.Array) -> pa.Array:
+        # string → binary cast is a zero-copy utf-8 view (non-ASCII safe)
+        return pc.binary_join_element_wise(
+            pa.scalar(HTML_PREFIX, pa.binary()),
+            text_arr.cast(pa.binary()),
+            pa.scalar(HTML_SUFFIX, pa.binary()),
+            pa.scalar(b"", pa.binary()))
+
+    def _mk(urls, ts_np, texts, langs) -> pa.Table:
+        return pa.table({
+            "url": urls,
+            "warc_ts": pa.array(ts_np, pa.timestamp("us")),
+            "html": _html(texts),
+            "text": texts,
+            "lang": langs,
+        }, schema=PAGES_SCHEMA)
+
+    text_v2 = pc.if_else(pa.array(digit == 1),
+                         pc.binary_join_element_wise(text, "v2", " "), text)
+    keep = np.flatnonzero(digit != 0)
+    kept = _mk(url.take(keep), ts[keep], text_v2.take(keep), lang.take(keep))
+
+    add = np.flatnonzero(digit == 2)
+    urls_a = url.take(add)
+    sep = pc.if_else(pc.match_substring(urls_a, "?"),
+                     pa.scalar("&v=2"), pa.scalar("?v=2"))
+    added = _mk(pc.binary_join_element_wise(urls_a, sep, ""), ts[add] + 1,
+                pc.binary_join_element_wise(text.take(add), "new", " "),
+                lang.take(add))
+    return pa.concat_tables([kept, added])
 
 
 def ensure_snapshot2(sf_dir: str, seed: int = 42,
                      root: str = "/tmp/graft_frontier") -> str:
     """Idempotently materialize crawl snapshot B next to the frontier
-    (``<root>/<sf>/pages2/``); returns the pages2 directory."""
+    (``<root>/<sf>/pages2/``); returns the pages2 directory.
+
+    Streaming: the derivation is ``snapshot2_batch`` over the pages
+    parquet — via Ray Data ``map_batches`` → ``write_parquet`` when a Ray
+    session exists (every pipeline/bench/test path), else a per-fragment
+    pyarrow loop (same vectorized kernel, one fragment in memory at a
+    time). Never materializes the corpus on the driver. Built under a
+    temp dir and renamed atomically; only COMPLETE trees are ever renamed
+    into place, so an existing ``pages2/`` without the done marker (a
+    crash between rename and touch) is finished work — re-mark it instead
+    of regenerating forever against ENOTEMPTY."""
     import shutil
     out_root = ensure_frontier(sf_dir, seed, root)
     p2 = os.path.join(out_root, "pages2")
     done = os.path.join(out_root, "_DONE_SNAP2")
     if os.path.exists(done):
         return p2
-    import pyarrow.parquet as _pq
-    import pyarrow.dataset as pads
-    # html is re-derived from the transformed text, so never load it
-    pages = pads.dataset(os.path.join(out_root, "pages")).to_table(
-        columns=["url", "warc_ts", "text", "lang"])
-    snap = generate_snapshot2(pages)
+    if os.path.isdir(p2):
+        Path(done).touch()
+        return p2
+    import ray
+    import ray.data
+    pages_dir = os.path.join(out_root, "pages")
+    cols = ["url", "warc_ts", "text", "lang"]  # html re-derived from text
     tmp = tempfile.mkdtemp(dir=out_root, prefix=".snap2-")
-    n_files = max(4, min(32, snap.num_rows // 50_000 or 4))
-    step = (snap.num_rows + n_files - 1) // n_files
-    for i in range(n_files):
-        sl = snap.slice(i * step, step)
-        if sl.num_rows:
-            _pq.write_table(sl, os.path.join(tmp, f"part-{i:04d}.parquet"),
-                            row_group_size=max(8192, step // 4))
+    if ray.is_initialized():
+        (ray.data.read_parquet(pages_dir, columns=cols)
+         .map_batches(snapshot2_batch, batch_format="pyarrow",
+                      batch_size=65536)
+         .write_parquet(tmp))
+    else:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as _pq
+        for i, frag in enumerate(pads.dataset(pages_dir).get_fragments()):
+            t = snapshot2_batch(frag.to_table(columns=cols))
+            _pq.write_table(t, os.path.join(tmp, f"part-{i:04d}.parquet"),
+                            row_group_size=max(8192, t.num_rows // 4 or 1))
     try:
         os.rename(tmp, p2)
         Path(done).touch()
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.isdir(p2):  # lost the race to a concurrent builder
+            Path(done).touch()
     return p2
 
 
