@@ -29,6 +29,23 @@ def pages_path(sf_dir: str) -> str:
     return os.path.join(ensure_frontier(sf_dir), "pages")
 
 
+def tree_fingerprint(path: str) -> str:
+    """Cheap content key (mtime+size) for a parquet file OR directory
+    tree. Per-process Dataset caches key on it so a regenerated-in-place
+    fixture never serves stale data (the ``ann.ivf_build`` precedent,
+    functions/ann.py:99). One stat per file, paid once per cache miss."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    tot, newest = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            s = os.stat(os.path.join(root, f))
+            tot += s.st_size
+            newest = max(newest, s.st_mtime_ns)
+    return f"{newest:x}_{tot:x}"
+
+
 def pages_ds(sf_dir: str, columns: list[str] | None = None,
              num_blocks: int = 32) -> Dataset:
     """Column-pruned read of the synthetic frontier for a scale factor.

@@ -27,16 +27,21 @@ from . import frontier_core as core
 # politeness query chain consumes it multiple times, and re-running the
 # regex canonicalization per pass doubled every query's wall time. ~150 MB
 # at sf0.1; at production scale this would be the staged frontier on disk
-# (pipelines/frontier.py bootstrap), not an in-memory cache.
-_SLIM_CACHE: dict[str, object] = {}
+# (pipelines/frontier.py bootstrap), not an in-memory cache. Keyed by
+# (sf_dir, mtime+size fingerprint) so a regenerated-in-place fixture
+# invalidates the cache instead of serving stale rows.
+_SLIM_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _slim(sf_dir: str, cfg: PipelineConfig):
-    if sf_dir not in _SLIM_CACHE:
+    key = (sf_dir, core.tree_fingerprint(core.pages_path(sf_dir)))
+    if key not in _SLIM_CACHE:
+        for k in [k for k in _SLIM_CACHE if k[0] == sf_dir]:
+            del _SLIM_CACHE[k]   # drop the stale generation, keep other sfs
         ds = core.with_canon(core.pages_ds(sf_dir, ["url", "warc_ts"]),
                              cfg, light=True)
-        _SLIM_CACHE[sf_dir] = ds.materialize()
-    return _SLIM_CACHE[sf_dir]
+        _SLIM_CACHE[key] = ds.materialize()
+    return _SLIM_CACHE[key]
 
 
 def q_url_canonicalize(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -106,23 +111,33 @@ def q_host_heavy_hitters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 
 def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """All frontier counters from ONE tagged pass (the flagship's
+    counter-derivation shape, pipelines/frontier.py:_wave_counters):
+    dedup → robots gate → per-batch (host, n_rows, n_allowed) partials →
+    a driver fold bounded by #hosts. The politeness-round count needs no
+    ranking shuffle at all: rank is dense 1..c per host, so
+    count(rank ≤ B) ≡ Σ_host min(B, allowed_count) — the host counts
+    already carry it. (The first version ran four separate count passes
+    with two materializes.)"""
+    import numpy as np
+
     ds = _slim(sf_dir, cfg)
-    n_pages = ds.count()
-    survivors = core.dedup_survivors(ds)
-    gated = core.robots_gated(survivors, cfg).materialize()
-    n_unique = gated.count()
-    allowed = gated.map_batches(
-        lambda b: b.filter(b.column("allowed")).drop_columns(["allowed"]),
-        batch_format="pyarrow").materialize()
-    n_allowed = allowed.count()
-    n_hosts = len(allowed.unique("host"))
-    ranked = politeness_ranked(
-        allowed.select_columns(["host", "url_canon", "warc_ts"]),
-        cfg.politeness_budget)
-    n_round0 = ranked.map_batches(
-        lambda b: b.filter(pa.compute.less_equal(b.column("politeness_rank"),
-                                                 cfg.politeness_budget)),
-        batch_format="pyarrow").count()
+    n_pages = ds.count()                    # metadata — ds is materialized
+    gated = core.robots_gated(core.dedup_survivors(ds), cfg)
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"host": b.column("host"),
+                      "ok": b.column("allowed").cast(pa.int64())})
+        g = t.group_by("host").aggregate([("ok", "sum"), ("ok", "count")])
+        return g.rename_columns(["host", "n_ok", "n_rows"])
+
+    hosts = (gated.map_batches(host_partial, batch_format="pyarrow")
+             .to_pandas().groupby("host")[["n_rows", "n_ok"]].sum())
+    n_unique = int(hosts["n_rows"].sum())
+    n_allowed = int(hosts["n_ok"].sum())
+    n_hosts = int((hosts["n_ok"] > 0).sum())
+    n_round0 = int(np.minimum(hosts["n_ok"].to_numpy(np.int64),
+                              cfg.politeness_budget).sum())
     return pd.DataFrame({
         "n_pages": pd.array([n_pages], dtype="int64"),
         "n_unique": pd.array([n_unique], dtype="int64"),

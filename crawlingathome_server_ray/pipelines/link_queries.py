@@ -82,8 +82,10 @@ def _host_edges_partial(batch: pa.Table) -> pa.Table:
 # family (degree, reciprocal, pagerank, hits) all consume it, and
 # re-parsing every page's HTML per query doubled their wall time (the
 # frontier_queries._SLIM_CACHE precedent; at production scale this is the
-# host graph staged to parquet once per crawl snapshot, not re-derived)
-_GRAPH_CACHE: dict[str, object] = {}
+# host graph staged to parquet once per crawl snapshot, not re-derived).
+# Keyed by (sf_dir, mtime+size fingerprint of the linkpages tree) so a
+# regenerated-in-place fixture invalidates the cache.
+_GRAPH_CACHE: dict[tuple[str, str], object] = {}
 
 
 def q_host_link_graph(sf_dir: str):
@@ -93,7 +95,12 @@ def q_host_link_graph(sf_dir: str):
     ``groupby([src_host, dst_host])`` was a Ray sort-aggregate over
     ~10^5-10^6 distinct string-PAIR groups (the documented pathology;
     measured 23.9 s at sfbench, the bucketed fold ~9 s)."""
-    if sf_dir not in _GRAPH_CACHE:
+    from .frontier_core import tree_fingerprint
+    key = (sf_dir,
+           tree_fingerprint(os.path.join(ensure_links(sf_dir), "linkpages")))
+    if key not in _GRAPH_CACHE:
+        for k in [k for k in _GRAPH_CACHE if k[0] == sf_dir]:
+            del _GRAPH_CACHE[k]  # drop the stale generation, keep other sfs
         cpus = int(ray.cluster_resources().get("CPU", 4)) \
             if ray.is_initialized() else 4
         n_buckets = max(64, cpus * 8)
@@ -119,14 +126,14 @@ def q_host_link_graph(sf_dir: str):
             out["n_links"] = out["n_links"].astype("int64")
             return out[["src_host", "dst_host", "n_links"]]
 
-        _GRAPH_CACHE[sf_dir] = (q_outlink_extract(sf_dir)
+        _GRAPH_CACHE[key] = (q_outlink_extract(sf_dir)
                                 .map_batches(partial,
                                              batch_format="pyarrow",
                                              batch_size=LINK_BATCH)
                                 .groupby("bucket")
                                 .map_groups(fold, batch_format="pandas")
                                 .materialize())
-    return _GRAPH_CACHE[sf_dir]
+    return _GRAPH_CACHE[key]
 
 
 def _all_hosts(sf_dir: str, host_graph=None) -> np.ndarray:

@@ -128,7 +128,11 @@ def q_seq_pack(sf_dir: str, block_len: int = SEQPACK_LEN,
     totals = totals.sort_values("range_id")
     base = np.concatenate(([0], np.cumsum(
         totals["sum(n)"].to_numpy(np.int64))))[:-1]
-    bases_ref = ray.put(dict(zip(totals["range_id"].astype(np.int64), base)))
+    # broadcast as two SORTED int64 arrays (zero-copy plasma reads +
+    # O(log n) searchsorted per task) — the dict variant deserialized the
+    # whole up-to-2^18-entry mapping once per map_groups task
+    rid_arr = totals["range_id"].to_numpy(np.int64)
+    bases_ref = ray.put((rid_arr, base))
 
     def with_range(b: pa.Table) -> pa.Table:
         rng = pc.divide(b.column("doc_id"), range_docs).cast(pa.int64())
@@ -146,7 +150,8 @@ def q_seq_pack(sf_dir: str, block_len: int = SEQPACK_LEN,
                                  "bucket": np.empty(0, np.int32)})
         n_by_doc = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
         local = np.cumsum(n_by_doc) - n_by_doc  # exclusive, within range
-        rbase = ray.get(bases_ref)[int(ids[0]) // range_docs]
+        rids, bases = ray.get(bases_ref)        # zero-copy numpy views
+        rbase = int(bases[np.searchsorted(rids, int(ids[0]) // range_docs)])
         pos = rbase + local[doc_of] + idx_within
         block = pos // block_len
         hs = _tok_hash_mod(toks)

@@ -82,3 +82,33 @@ def test_snapshot_delta_text_equality_twin(ray_session):
     assert got.get("changed", set()) == changed
     # unchanged urls never appear
     assert len(out) == len(removed) + len(added) + len(changed)
+
+
+def test_dataset_caches_invalidate_on_fixture_change(ray_session):
+    """Regenerating a fixture in place (here: touching a source file so
+    its mtime moves) must invalidate the per-process Dataset caches —
+    both the slim frontier and the host-graph cache key on a mtime+size
+    tree fingerprint (the ann.ivf_build precedent)."""
+    import os
+    import time
+    from pathlib import Path
+
+    from crawlingathome_server_ray.config import DEFAULT_CONFIG
+    from crawlingathome_server_ray.pipelines import link_queries as lq
+    from crawlingathome_server_ray.sources.link_synth import ensure_links
+
+    a = fq._slim(SF, DEFAULT_CONFIG)
+    assert fq._slim(SF, DEFAULT_CONFIG) is a          # warm hit
+    f = next(Path(pages_path(SF)).glob("*.parquet"))
+    os.utime(f, ns=(time.time_ns(), time.time_ns()))
+    b = fq._slim(SF, DEFAULT_CONFIG)
+    assert b is not a                                 # stale entry evicted
+    assert b.count() == a.count()
+
+    g1 = lq.q_host_link_graph(SF)
+    assert lq.q_host_link_graph(SF) is g1
+    lf = next(Path(ensure_links(SF), "linkpages").glob("*.parquet"))
+    os.utime(lf, ns=(time.time_ns(), time.time_ns()))
+    g2 = lq.q_host_link_graph(SF)
+    assert g2 is not g1
+    assert g2.count() == g1.count()

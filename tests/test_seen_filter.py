@@ -91,3 +91,45 @@ def test_indices_deterministic():
     b = _bloom_indices(h, 7, 1 << 20)
     assert (a == b).all()
     assert (a >= 0).all() and (a < (1 << 20)).all()
+
+
+def test_cuckoo_vectorized_insert_matches_scalar_loop():
+    """The bulk no-kick insert path must return byte-identical novelty
+    masks to the original sequential per-key loop — including in-batch
+    (fp, bucket-orbit) collisions, cross-batch re-sees, and the
+    bucket-overflow → i2 → kick fallback at high load."""
+    import numpy as np
+
+    from crawlingathome_server_ray.stages.seen_filter import CuckooFilter
+
+    class ScalarCuckoo(CuckooFilter):
+        def check_and_add(self, hashes):
+            if len(hashes) == 0:
+                return np.zeros(0, dtype=bool)
+            uniq, first_idx = np.unique(hashes, return_index=True)
+            fp = self._fp(uniq)
+            i1 = self._i1(uniq)
+            i2 = self._i2(i1, fp)
+            out = np.zeros(len(hashes), dtype=bool)
+            for k in range(len(uniq)):
+                if not self._contains_one(int(i1[k]), int(i2[k]), int(fp[k])):
+                    self._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
+                    self.n_added += 1
+                    out[first_idx[k]] = True
+            return out
+
+    rng = np.random.default_rng(7)
+    # small bucket space at moderate load → dense buckets exercise the
+    # overflow rounds; repeats within and across batches exercise re-sees
+    a, b = CuckooFilter(1 << 10, 4), ScalarCuckoo(1 << 10, 4)
+    for r in range(12):
+        h = (rng.integers(0, 1 << 12, size=512, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))
+        ra, rb = a.check_and_add(h.copy()), b.check_and_add(h.copy())
+        assert (ra == rb).all(), f"novelty mask mismatch at round {r}"
+        assert a.n_added == b.n_added
+    q = (rng.integers(0, 1 << 12, size=4096, dtype=np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15))
+    ma = np.array([int(x) in a for x in q])
+    mb = np.array([int(x) in b for x in q])
+    assert (ma == mb).all()
