@@ -10,8 +10,22 @@ format, split by a structural marker walk — never a byte scan), and
 **WAV** (RIFF PCM16 — the baseline audio format). This module
 implements honest encoders/decoders plus vectorized feature kernels, so
 the multimodal stages in ``stages/multimodal.py`` produce REAL features
-for these formats; only MP3 (whose codec genuinely needs an external
-library) remains a declared stub.
+for these formats.
+
+**MP3 is formally DESCOPED** (not stubbed — there is no ``decode_mp3``
+and no MP3 payload in any media table, so nothing silently fails): a
+conformant MPEG-1 Audio decoder requires the ISO/IEC 11172-3 Annex 3-B
+tabulated coefficients (the 512-entry rounded synthesis window, the
+layer-II bit-allocation/quantization tables, layer-III Huffman tables),
+which are spec tables, not derivable from a formula — and with no
+external libraries and no real MP3 payloads in this container, a
+hand-typed approximation could be neither conformance-checked nor
+exercised. Compressed-audio coverage is instead provided by the two
+G.711 codecs (ulaw/alaw, canonical closed-form companding laws,
+twin-tested against stdlib ``audioop``), which exercise the same
+pipeline shape: binary payload → vectorized LUT decompression →
+feature kernels. A WAV container carrying any other compression tag is
+rejected loudly (``NotImplementedError`` below).
 
 Decoders parse the actual on-disk format (magic, header fields, row
 padding, chunk walk, CRCs, filter reconstruction) and reject what they

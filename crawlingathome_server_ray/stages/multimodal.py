@@ -18,11 +18,12 @@ Two tiers:
   batch is inherent to variable-size payload decode (every media
   engine's shape); each decode is itself vectorized numpy over the
   payload bytes.
-- **Declared stubs** for formats whose codecs need an external library
-  (MP3): ``DecodeStage(fake=False)`` handles BMP/PNG/JPEG/WAV via the
-  real parsers and raises ``NotImplementedError`` naming the missing
-  library for the rest; ``fake=True`` keeps the deterministic hash-fake
-  so plumbing tests run format-independent.
+- **Loud rejection** of anything else: ``DecodeStage(fake=False)``
+  handles BMP/PNG/JPEG/WAV via the real parsers and raises
+  ``NotImplementedError`` for unrecognized formats (MP3 is formally
+  descoped — see the functions/media.py module docstring for the
+  spec-table rationale); ``fake=True`` keeps the deterministic
+  hash-fake so plumbing tests run format-independent.
 
 Sizing note: binary payloads dominate block size; callers should use small
 ``batch_size`` (≤1024 for images) and bound ``concurrency × payload × batch``
