@@ -236,8 +236,9 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
     # config that the refsim goldens pin)
     hex_chars = int(os.environ.get("GRAFT_HEX_CHARS", "1"))
     wave = int(os.environ.get("GRAFT_WAVE_SIZE", "8"))
+    overlap = os.environ.get("GRAFT_GPU_OVERLAP", "1") != "0"
     cfg = PipelineConfig(checkpoint_dir=ckpt, partition_hex_chars=hex_chars,
-                         wave_size=wave)
+                         wave_size=wave, gpu_overlap=overlap)
     s = run_crawl(sf_dir, cfg, resume=False)
     shutil.rmtree(ckpt, ignore_errors=True)
     ray.shutdown()

@@ -65,6 +65,16 @@ class PipelineConfig:
     # run_crawl, the CLI and bench.py.
     wave_size: int = 8
 
+    # overlap wave N's GPU token leg with wave N+1's CPU/politeness
+    # phases (one background thread, one wave in flight). The GPU leg
+    # never touches the seen shards, and each wave's seen-snapshot is
+    # captured BEFORE the next wave's cpu stage mutates them, so crash
+    # semantics are unchanged (a wave closes only after its GPU sums
+    # land; the committed snapshot always contains exactly the closed
+    # waves' additions). Targets the measured core-count-invariant
+    # ~per-wave launch floor (BASELINE.md hex2 decomposition).
+    gpu_overlap: bool = True
+
     # lease / reap semantics (reference config.py:8, main.py:750)
     lease_timeout_s: int = 7200
 

@@ -44,6 +44,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import threading
 import time
 from pathlib import Path
 
@@ -312,6 +313,111 @@ def read_stage1_with_schedule(out_root: str, pids: list[int] | None = None):
                         on=("url_hash",))
 
 
+def _defuse_fsspec_http_import() -> None:
+    """Ray Data's path resolution re-imports ``fsspec.implementations.http``
+    on EVERY read/write call; with aiohttp absent from this environment the
+    import fails EVERY time (failed imports aren't cached), and two driver
+    threads resolving paths concurrently can hit CPython's import
+    deadlock-avoidance and leak a spurious ``ImportError: cannot import
+    name 'HTTPFileSystem'`` out of ``read_parquet`` (observed in the
+    gpu-overlap thread). Register a minimal stub module once so the import
+    succeeds deterministically; ray's ``_is_http_filesystem`` only uses the
+    class as an ``isinstance`` target, which is correctly always False —
+    no http filesystem can exist here without aiohttp anyway."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except (ImportError, ModuleNotFoundError):
+        import sys
+        import types
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:      # isinstance target only, never created
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = m
+
+
+def _gpu_token_sums(stage1_root: str, stage2_root: str,
+                    gpu_pids: list[int],
+                    cfg: PipelineConfig) -> dict[int, int]:
+    """Stage 2 (GPU leg): read the wave's stage-1 artifact (≙ the GPU
+    worker downloading gpu_url, reference main.py:573), pruned to the
+    needed columns and the non-postgres partitions only, compute token
+    counts, hive-write stage 2, and return per-partition token sums.
+
+    A partition may legitimately have ZERO fetched rows (e.g. a re-opened
+    partition whose URLs are all in the seen set) — then no stage-1 dir
+    exists for it and read_parquet([]) errors, hence the file-list guard.
+
+    ONE streaming launch: read → tokens → hive write (no wave-wide
+    materialize holding the stage-2 table in the object store). The
+    per-partition token sums then come from a SLIM re-read of just the
+    integer column of the files this wave just wrote — the old
+    materialize+write+groupby shape was three pipeline launches per
+    wave, a measured core-count-invariant ~6.7 s/wave slice of the gpu
+    phase (BASELINE.md hex2 decomposition). Thread-safe driver-side
+    (only Ray Data API calls + local state), so run_crawl can overlap it
+    with the NEXT wave's cpu/politeness phases (cfg.gpu_overlap)."""
+    pairs_by_pid: dict[int, int] = {}
+    s1_files = sorted(
+        str(f) for p in gpu_pids
+        for f in Path(stage1_root, f"partition_id={p}").glob("*.parquet"))
+    if not s1_files:
+        return pairs_by_pid
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text_extracted")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = pc.list_value_length(pc.utf8_split_whitespace(txt)).cast(pa.int64())
+        pid_col = np.asarray(batch.column("partition_id")).astype(np.int32)
+        return pa.table({"url_canon": batch.column("url_canon"),
+                         "lang": batch.column("lang"),
+                         "partition_id": pa.array(pid_col, pa.int32()),
+                         "n_tokens": n})
+
+    # max_retries=0 on the write: the per-pid token sums below are
+    # derived by globbing the files this launch writes — a write task
+    # retried after flushing a part file would leave a stray duplicate
+    # the glob double-counts (same rationale as the cpu stage: a lost
+    # task fails the wave, resume replays from the manifest).
+    ray.data.read_parquet(
+        s1_files, columns=["url_canon", "lang", "text_extracted",
+                           "partition_id"]).map_batches(
+        tokens, batch_format="pyarrow",
+        batch_size=cfg.batch_size).write_parquet(
+        stage2_root, partition_cols=["partition_id"],
+        ray_remote_args={"max_retries": 0})
+    s2_files = sorted(
+        str(f) for p in gpu_pids
+        for f in Path(stage2_root, f"partition_id={p}").glob("*.parquet"))
+    slim = ray.data.read_parquet(s2_files, columns=["n_tokens"],
+                                 include_paths=True)
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        # partition_id is hive-encoded in the file path; one row per
+        # (file-derived pid) per batch
+        import re as _re
+        paths, inv = np.unique(
+            np.asarray(b.column("path"), dtype=object),
+            return_inverse=True)                 # ≈1 distinct per file
+        per_path = np.fromiter(
+            (int(_re.search(r"partition_id=(\d+)", p).group(1))
+             for p in paths), np.int32, len(paths))
+        pids = per_path[inv]
+        t = pa.table({"partition_id": pa.array(pids, pa.int32()),
+                      "n": b.column("n_tokens")})
+        g = t.group_by("partition_id").aggregate([("n", "sum")])
+        return g.rename_columns(["partition_id", "n"])
+
+    parts = (slim.map_batches(sum_partial, batch_format="pyarrow",
+                              batch_size=65536).to_pandas())
+    for pid, n in parts.groupby("partition_id")["n"].sum().items():
+        pairs_by_pid[int(pid)] = int(n)
+    return pairs_by_pid
+
+
 def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
               out_root: str | None = None, resume: bool = True,
               stop_after: int | None = None,
@@ -319,6 +425,7 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     """Run (or resume) the crawl; returns the metrics summary.
     ``wave_size`` defaults to ``cfg.wave_size`` — one knob shared by the
     CLI, bench, and tests."""
+    _defuse_fsspec_http_import()   # required for thread-safe Ray Data IO
     wave_size = cfg.wave_size if wave_size is None else wave_size
     out_root = out_root or os.path.join(cfg.checkpoint_dir,
                                         os.path.basename(os.path.normpath(sf_dir)))
@@ -358,173 +465,37 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     cpu_stage = _make_cpu_stage(shards, cfg.partition_hex_chars)
 
-    for w0 in range(0, len(todo), wave_size):
-        wave = todo[w0:w0 + wave_size]
-        nicks = {pid: (worker_name(cfg.seed + 1, pid % NICKNAME_POOL),
-                       worker_name(cfg.seed, pid % NICKNAME_POOL))
-                 for pid in wave}
-        for pid in wave:
-            # claim (≙ reference main.py:549-598 atomic claim dance)
-            manifest.transition(pid, LEASED, completor=nicks[pid][0])
-            for root in (stage1_root, stage2_root, schedule_root):
-                shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
-                              ignore_errors=True)
+    pending: dict | None = None   # at most ONE wave's GPU leg in flight
 
-        # wave dataflow — everything distributed, no driver round-trips:
-        # (1) read → seen/robots/extract, materialized once (two consumers);
-        # (2) payload written as the stage-1 artifact; (3) politeness
-        # ranking over the SLIM projection only — the groupby(host_bucket)
-        # shuffle moves ~32 B/URL, never the payload (SURVEY.md §7
-        # hard-part d) — written as a sidecar ``schedule`` parquet keyed by
-        # url_hash (late materialization: consumers join payload↔schedule
-        # by key only when they need both; see read_stage1_with_schedule).
-        tp = time.time()
-        files = sorted(str(f) for p in wave
-                       for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
-        ds = ray.data.read_parquet(files)
-        # max_retries=0: the stage mutates shared state (bloom add) and
-        # MUST NOT be replayed by Ray's task retry — see _make_cpu_stage.
-        # A lost task fails the wave; resume replays it from the manifest
-        # + last committed seen-snapshot.
-        surv_all = ds.map_batches(cpu_stage, batch_format="pyarrow",
-                                  batch_size=cfg.batch_size,
-                                  zero_copy_batch=True,
-                                  max_retries=0).materialize()
-        tp = _mark("cpu_stage", tp)
-
-        # counters derived from data (no per-batch RPCs; exactly-once by
-        # construction) — before manifests commit, same atomicity contract
-        counters_by_pid = _wave_counters(surv_all, staging, wave)
-        tp = _mark("counters", tp)
-
-        surv = (surv_all.filter(expr="allowed == True")
-                .drop_columns(["allowed"]))
-        surv.write_parquet(stage1_root, partition_cols=["partition_id"])
-        tp = _mark("stage1_write", tp)
-
-        slim = surv.select_columns(["url_hash", "host", "url_canon",
-                                    "partition_id"])
-
-        def add_priority(batch: pa.Table) -> pa.Table:
-            # seed-listed URLs first within their host (north_rule: dispatch
-            # under "the same seed list + politeness budget")
-            seeds = ray.get(seed_hashes_ref)
-            h = np.asarray(batch.column("url_hash"), dtype=np.uint64)
-            pos = np.searchsorted(seeds, h)
-            is_seed = (pos < len(seeds)) & (seeds[np.minimum(pos, len(seeds) - 1)] == h) \
-                if len(seeds) else np.zeros(len(h), dtype=bool)
-            prio = np.where(is_seed, 0, 1).astype(np.int32)
-            return batch.append_column("priority", pa.array(prio, pa.int32()))
-
-        slim = slim.map_batches(add_priority, batch_format="pyarrow",
-                                batch_size=cfg.batch_size)
-        # sub_buckets adapts to wave width: total politeness groups per wave
-        # = |wave| × sub_buckets, and each map_groups dispatch is a serial
-        # driver-side cost (~ms each). Target ≈256 groups/wave: at 16-way
-        # (wave 8) that is the measured-good 16 sub-buckets; at 256-way
-        # (wave 64) it is 4 — without this, 1024 groups/wave × waves made
-        # the politeness phase driver-bound and core-count-invariant
-        # (measured ~37 s flat at both 2 and 8 pinned cores).
-        sub_buckets = min(16, max(1, 256 // max(1, len(wave))))
-        ranked = politeness_ranked(slim, cfg.politeness_budget,
-                                   order=("priority", "url_canon"),
-                                   max_rounds=cfg.politeness_max_rounds,
-                                   align_col="partition_id",
-                                   sub_buckets=sub_buckets)
-        ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
-        tp = _mark("politeness", tp)
-
-        # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
-        stores = {pid: upload_store(cfg.seed, pid,
-                                    cfg.postgres_shortcircuit_hex)
-                  for pid in wave}
-        gpu_pids = [p for p in wave if stores[p] != "postgres"]
-        pairs_by_pid: dict[int, int] = {}
-        if gpu_pids:
-            # stage 2 reads its input from the stage-1 artifact (≙ the GPU
-            # worker downloading gpu_url, reference main.py:573), pruned to
-            # the needed columns and the non-postgres partitions only.
-            # A partition may legitimately have ZERO fetched rows (e.g. a
-            # re-opened partition whose URLs are all in the seen set) —
-            # then no stage-1 dir exists for it and read_parquet([]) errors.
-            s1_files = sorted(
-                str(f) for p in gpu_pids
-                for f in Path(stage1_root, f"partition_id={p}").glob("*.parquet"))
-            def tokens(batch: pa.Table) -> pa.Table:
-                txt = batch.column("text_extracted")
-                if isinstance(txt, pa.ChunkedArray):
-                    txt = txt.combine_chunks()
-                n = pc.list_value_length(pc.utf8_split_whitespace(txt)).cast(pa.int64())
-                pid_col = np.asarray(batch.column("partition_id")).astype(np.int32)
-                return pa.table({"url_canon": batch.column("url_canon"),
-                                 "lang": batch.column("lang"),
-                                 "partition_id": pa.array(pid_col, pa.int32()),
-                                 "n_tokens": n})
-
-            if s1_files:
-                # ONE streaming launch: read → tokens → hive write (no
-                # wave-wide materialize holding the stage-2 table in the
-                # object store). The per-partition token sums then come
-                # from a SLIM re-read of just the two integer columns of
-                # the files this wave just wrote — at hex2/wave64 the old
-                # materialize+write+groupby shape was three pipeline
-                # launches per wave, a measured core-count-invariant
-                # ~6.7 s/wave slice of the gpu phase (BASELINE.md hex2
-                # decomposition).
-                # max_retries=0 on the write: the per-pid token sums below
-                # are derived by globbing the files this launch writes — a
-                # write task retried after flushing a part file would leave
-                # a stray duplicate the glob double-counts (same rationale
-                # as the cpu stage: a lost task fails the wave, resume
-                # replays from the manifest).
-                ray.data.read_parquet(
-                    s1_files, columns=["url_canon", "lang", "text_extracted",
-                                       "partition_id"]).map_batches(
-                    tokens, batch_format="pyarrow",
-                    batch_size=cfg.batch_size).write_parquet(
-                    stage2_root, partition_cols=["partition_id"],
-                    ray_remote_args={"max_retries": 0})
-                s2_files = sorted(
-                    str(f) for p in gpu_pids
-                    for f in Path(stage2_root,
-                                  f"partition_id={p}").glob("*.parquet"))
-                slim = ray.data.read_parquet(s2_files, columns=["n_tokens"],
-                                             include_paths=True)
-
-                def sum_partial(b: pa.Table) -> pa.Table:
-                    # partition_id is hive-encoded in the file path; one
-                    # row per (file-derived pid) per batch
-                    import re as _re
-                    paths, inv = np.unique(
-                        np.asarray(b.column("path"), dtype=object),
-                        return_inverse=True)         # ≈1 distinct per file
-                    per_path = np.fromiter(
-                        (int(_re.search(r"partition_id=(\d+)", p).group(1))
-                         for p in paths), np.int32, len(paths))
-                    pids = per_path[inv]
-                    t = pa.table({"partition_id": pa.array(pids, pa.int32()),
-                                  "n": b.column("n_tokens")})
-                    g = t.group_by("partition_id").aggregate([("n", "sum")])
-                    return g.rename_columns(["partition_id", "n"])
-
-                parts = (slim.map_batches(sum_partial, batch_format="pyarrow",
-                                          batch_size=65536).to_pandas())
-                for pid, n in parts.groupby("partition_id")["n"].sum().items():
-                    pairs_by_pid[int(pid)] = int(n)
-            tp = _mark("gpu_stage", tp)
-
-        # ---- per-partition close (state machine + counters + lineage) ----
-        for pid in wave:
-            cpu_nick, gpu_nick = nicks[pid]
-            gpu_url = f"{stores[pid]}://{stage1_root}/partition_id={pid}"
-            counters = counters_by_pid[pid]
-            if stores[pid] == "postgres":
+    def _close_wave(e: dict) -> None:
+        """Join the wave's GPU leg (if overlapped), then run the
+        per-partition close: state machine + counters + lineage + the
+        wave's pre-captured seen-snapshot. ``gpu_stage`` records the
+        leg's own wall time (overlapped with the next wave's phases when
+        gpu_overlap is on); ``gpu_wait`` records only the blocking join
+        remainder — the true critical-path cost."""
+        t_join = time.time()
+        if e["thread"] is not None:
+            e["thread"].join()
+        if e["err"] is not None:
+            raise e["err"]
+        phase_times["gpu_stage"] = round(
+            phase_times.get("gpu_stage", 0.0) + e["gpu_s"], 2)
+        if e["thread"] is not None:
+            phase_times["gpu_wait"] = round(
+                phase_times.get("gpu_wait", 0.0) + (time.time() - t_join), 2)
+        tclose = time.time()
+        for pid in e["wave"]:
+            cpu_nick, gpu_nick = e["nicks"][pid]
+            gpu_url = f"{e['stores'][pid]}://{stage1_root}/partition_id={pid}"
+            counters = e["counters"][pid]
+            if e["stores"][pid] == "postgres":
                 manifest.transition(pid, CLOSED, completor=cpu_nick,
                                     gpu_url=gpu_url, counters=counters,
                                     lineage=lineage_base,
                                     output_path=f"{stage1_root}/partition_id={pid}")
             else:
-                pairs = pairs_by_pid.get(pid, 0)
+                pairs = e["pairs"].get(pid, 0)
                 counters["pairs_scraped"] = pairs
                 manifest.transition(pid, GPU, gpu_url=gpu_url)
                 manifest.transition(pid, LEASED, completor=gpu_nick)
@@ -532,8 +503,144 @@ def run_crawl(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                     counters=counters, lineage=lineage_base,
                                     pairs_scraped=pairs,
                                     output_path=f"{stage2_root}/partition_id={pid}")
-        manifest.save_seen_snapshot(snapshot_shards(shards))
-        _mark("close_commit", tp)
+        manifest.save_seen_snapshot(e["snapshot"])
+        _mark("close_commit", tclose)
+
+    try:
+        for w0 in range(0, len(todo), wave_size):
+            wave = todo[w0:w0 + wave_size]
+            nicks = {pid: (worker_name(cfg.seed + 1, pid % NICKNAME_POOL),
+                           worker_name(cfg.seed, pid % NICKNAME_POOL))
+                     for pid in wave}
+            for pid in wave:
+                # claim (≙ reference main.py:549-598 atomic claim dance)
+                manifest.transition(pid, LEASED, completor=nicks[pid][0])
+                for root in (stage1_root, stage2_root, schedule_root):
+                    shutil.rmtree(os.path.join(root, f"partition_id={pid}"),
+                                  ignore_errors=True)
+
+            # wave dataflow — everything distributed, no driver round-trips:
+            # (1) read → seen/robots/extract, materialized once (two consumers);
+            # (2) payload written as the stage-1 artifact; (3) politeness
+            # ranking over the SLIM projection only — the groupby(host_bucket)
+            # shuffle moves ~32 B/URL, never the payload (SURVEY.md §7
+            # hard-part d) — written as a sidecar ``schedule`` parquet keyed by
+            # url_hash (late materialization: consumers join payload↔schedule
+            # by key only when they need both; see read_stage1_with_schedule).
+            tp = time.time()
+            files = sorted(str(f) for p in wave
+                           for f in Path(staging, f"partition_id={p}").glob("*.parquet"))
+            ds = ray.data.read_parquet(files)
+            # max_retries=0: the stage mutates shared state (bloom add) and
+            # MUST NOT be replayed by Ray's task retry — see _make_cpu_stage.
+            # A lost task fails the wave; resume replays it from the manifest
+            # + last committed seen-snapshot.
+            surv_all = ds.map_batches(cpu_stage, batch_format="pyarrow",
+                                      batch_size=cfg.batch_size,
+                                      zero_copy_batch=True,
+                                      max_retries=0).materialize()
+            tp = _mark("cpu_stage", tp)
+
+            # counters derived from data (no per-batch RPCs; exactly-once by
+            # construction) — before manifests commit, same atomicity contract
+            counters_by_pid = _wave_counters(surv_all, staging, wave)
+            tp = _mark("counters", tp)
+
+            surv = (surv_all.filter(expr="allowed == True")
+                    .drop_columns(["allowed"]))
+            surv.write_parquet(stage1_root, partition_cols=["partition_id"])
+            tp = _mark("stage1_write", tp)
+
+            slim = surv.select_columns(["url_hash", "host", "url_canon",
+                                        "partition_id"])
+
+            def add_priority(batch: pa.Table) -> pa.Table:
+                # seed-listed URLs first within their host (north_rule: dispatch
+                # under "the same seed list + politeness budget")
+                seeds = ray.get(seed_hashes_ref)
+                h = np.asarray(batch.column("url_hash"), dtype=np.uint64)
+                pos = np.searchsorted(seeds, h)
+                is_seed = (pos < len(seeds)) & (seeds[np.minimum(pos, len(seeds) - 1)] == h) \
+                    if len(seeds) else np.zeros(len(h), dtype=bool)
+                prio = np.where(is_seed, 0, 1).astype(np.int32)
+                return batch.append_column("priority", pa.array(prio, pa.int32()))
+
+            slim = slim.map_batches(add_priority, batch_format="pyarrow",
+                                    batch_size=cfg.batch_size)
+            # sub_buckets adapts to wave width: total politeness groups per wave
+            # = |wave| × sub_buckets, and each map_groups dispatch is a serial
+            # driver-side cost (~ms each). Target ≈256 groups/wave: at 16-way
+            # (wave 8) that is the measured-good 16 sub-buckets; at 256-way
+            # (wave 64) it is 4 — without this, 1024 groups/wave × waves made
+            # the politeness phase driver-bound and core-count-invariant
+            # (measured ~37 s flat at both 2 and 8 pinned cores).
+            sub_buckets = min(16, max(1, 256 // max(1, len(wave))))
+            ranked = politeness_ranked(slim, cfg.politeness_budget,
+                                       order=("priority", "url_canon"),
+                                       max_rounds=cfg.politeness_max_rounds,
+                                       align_col="partition_id",
+                                       sub_buckets=sub_buckets)
+            ranked.write_parquet(schedule_root, partition_cols=["partition_id"])
+            tp = _mark("politeness", tp)
+
+            # ---- stage 2 (GPU leg) for non-postgres partitions ----------------
+            stores = {pid: upload_store(cfg.seed, pid,
+                                        cfg.postgres_shortcircuit_hex)
+                      for pid in wave}
+            gpu_pids = [p for p in wave if stores[p] != "postgres"]
+
+            # seen-set snapshot for THIS wave, captured BEFORE the next wave's
+            # cpu stage mutates the shards — the overlap-correctness barrier:
+            # the snapshot committed when this wave closes must contain exactly
+            # the additions of waves ≤ this one, or a crash-resume of a later
+            # wave would find its own URLs pre-seen and fetch nothing. The GPU
+            # leg itself never touches the shards, so it can run behind the
+            # next wave freely.
+            entry = {"wave": wave, "nicks": nicks, "stores": stores,
+                     "counters": counters_by_pid,
+                     "snapshot": snapshot_shards(shards),
+                     "pairs": {}, "thread": None, "err": None, "gpu_s": 0.0}
+            tp = _mark("snapshot", tp)
+
+            if gpu_pids:
+                def _gpu_work(e=entry, pids=gpu_pids):
+                    t_g = time.time()
+                    try:
+                        e["pairs"] = _gpu_token_sums(stage1_root, stage2_root,
+                                                     pids, cfg)
+                    except BaseException as exc:        # re-raised at join
+                        e["err"] = exc
+                    e["gpu_s"] = time.time() - t_g
+                if cfg.gpu_overlap:
+                    th = threading.Thread(target=_gpu_work, name="gpu-stage",
+                                          daemon=True)
+                    entry["thread"] = th
+                    th.start()
+                else:
+                    _gpu_work()
+
+            # close the PREVIOUS wave now (its GPU leg has been overlapping
+            # this wave's cpu/politeness phases); this wave becomes pending.
+            # Without overlap, close immediately — identical to the old
+            # strictly-sequential wave loop.
+            prev, pending = pending, entry
+            if prev is not None:
+                _close_wave(prev)
+            if not cfg.gpu_overlap:
+                _close_wave(entry)
+                pending = None
+
+        if pending is not None:
+            _close_wave(pending)
+            pending = None
+    except BaseException:
+        # never leave the overlapped GPU pipeline running into a
+        # ray.shutdown / teardown — a Ray Data execution on a dead
+        # driver thread segfaults. Join (the leg is short) then
+        # propagate; resume replays the un-closed waves.
+        if pending is not None and pending["thread"] is not None:
+            pending["thread"].join()
+        raise
 
     for a in shards:
         ray.kill(a)  # do not leave zombie actors holding resources
