@@ -52,17 +52,21 @@ def _host_probs(n_hosts: int) -> np.ndarray:
     return p / p.sum()
 
 
-def generate_linkpages(seed: int, n_pages: int, n_hosts: int) -> pa.Table:
+def generate_linkpages(seed: int, n_pages: int, n_hosts: int,
+                       start: int = 0, stop: int | None = None) -> pa.Table:
     # page i lives on a Zipf-skewed host; per-page RNG streams keep every
     # payload independent of build order (the host draw is inverse-CDF on
-    # the per-page stream, not a global batch draw). NOTE: unlike the
-    # media table, payloads are NOT prefix-stable across table sizes —
-    # link targets deliberately span the whole table (`n_pages` enters the
-    # target draw), so each scale factor is its own deterministic graph.
+    # the per-page stream, not a global batch draw) — which also makes any
+    # [start, stop) slice bit-identical whether generated serially or in a
+    # parallel worker (ensure_links fans slices out as Ray tasks). NOTE:
+    # unlike the media table, payloads are NOT prefix-stable across table
+    # sizes — link targets deliberately span the whole table (`n_pages`
+    # enters the target draw), so each scale factor is its own
+    # deterministic graph.
     probs = _host_probs(n_hosts)
     cdf = np.cumsum(probs)
     urls, htmls = [], []
-    for i in range(n_pages):
+    for i in range(start, n_pages if stop is None else min(stop, n_pages)):
         rng = np.random.default_rng((seed << 21) ^ (i * 2 + 1))
         h = int(np.searchsorted(cdf, rng.random()))
         scheme = "https" if rng.random() < 0.85 else "http"
@@ -113,17 +117,31 @@ def ensure_links(sf_dir: str, seed: int = 42,
             pass
         shutil.rmtree(stale, ignore_errors=True)
     n_pages, n_hosts = link_rows_for(sf_dir)
-    table = generate_linkpages(seed, n_pages, n_hosts)
     Path(root).mkdir(parents=True, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root, prefix=".build-")
     ldir = Path(tmp, "linkpages")
     ldir.mkdir()
     n_files = max(4, min(64, (n_pages + 8191) // 8192))
     step = (n_pages + n_files - 1) // n_files
-    for i in range(n_files):
-        sl = table.slice(i * step, step)
+
+    def _write_slice(i: int) -> None:
+        sl = generate_linkpages(seed, n_pages, n_hosts,
+                                start=i * step, stop=(i + 1) * step)
         if sl.num_rows:
             pq.write_table(sl, str(ldir / f"part-{i:04d}.parquet"))
+
+    # the per-page generator is Python-loop-bound (~0.6 ms/page: fresh
+    # Generator + an O(n_hosts) rng.choice per absolute anchor), so large
+    # scale factors fan the independent file slices out as Ray tasks —
+    # per-page RNG streams make each slice bit-identical to the serial
+    # build (tests/test_links.py::test_linkpages_slice_identical_to_full)
+    import ray
+    if ray.is_initialized() and n_pages >= 65536:
+        gen = ray.remote(num_cpus=1)(_write_slice)
+        ray.get([gen.remote(i) for i in range(n_files)])
+    else:
+        for i in range(n_files):
+            _write_slice(i)
     Path(tmp, _MARKER).touch()
     try:
         os.rename(tmp, out)

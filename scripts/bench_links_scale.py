@@ -31,17 +31,19 @@ def main() -> None:
 
     from crawlingathome_server_ray.sources.link_synth import (ensure_links,
                                                               link_rows_for)
-    t0 = time.time()
-    ensure_links(sf_dir)
-    gen_s = round(time.time() - t0, 1)
-    n_pages, n_hosts = link_rows_for(sf_dir)
-
+    # init Ray BEFORE the synth so ensure_links can fan the file slices
+    # out as tasks (serial generation is ~0.6 ms/page — 20 min at sfscale)
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import ray.data
+
+    t0 = time.time()
+    ensure_links(sf_dir)
+    gen_s = round(time.time() - t0, 1)
+    n_pages, n_hosts = link_rows_for(sf_dir)
 
     def _warm(b):
         import numpy as _np

@@ -268,3 +268,27 @@ def test_wave_size_invariance(ray_session):
                     {p: r["counters"] for p, r in m.all().items()}, sched)
         shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
     assert outs[4] == outs[64]
+
+
+def test_gpu_overlap_equivalence(ray_session):
+    """The gpu-overlap thread is only a scheduling optimization: with a
+    small wave_size (many waves, so wave N's gpu leg really does run under
+    wave N+1's cpu phase) the manifests, counters, dispatch order and
+    schedules must be byte-identical to the serial gpu path."""
+    outs = {}
+    for ov in (False, True):
+        cfg = PipelineConfig(checkpoint_dir=f"/tmp/graft_ckpt_ov{int(ov)}",
+                             gpu_overlap=ov)
+        shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+        s = run_crawl(SF, cfg, resume=False, wave_size=4)
+        m = Manifest(s["out_root"], cfg.lease_timeout_s)
+        sched = {}
+        for pid in s["partitions_closed"]:
+            t = pq.read_table(f"{s['out_root']}/schedule/partition_id={pid}",
+                              columns=["url_canon", "politeness_rank"])
+            sched[pid] = sorted(zip(t.column("url_canon").to_pylist(),
+                                    t.column("politeness_rank").to_pylist()))
+        outs[ov] = (s["dispatch_order"], s["partitions_closed"],
+                    {p: r["counters"] for p, r in m.all().items()}, sched)
+        shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    assert outs[False] == outs[True]

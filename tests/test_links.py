@@ -45,6 +45,19 @@ def test_linkpages_deterministic_and_shaped():
     assert top > 3 * (sum(counts.values()) / 30)   # ≫ uniform share
 
 
+def test_linkpages_slice_identical_to_full():
+    """[start, stop) slices are bit-identical to the same rows of the
+    full serial build — the invariant ensure_links' parallel fan-out
+    (one Ray task per file slice) rests on."""
+    full = generate_linkpages(42, 400, 30)
+    parts = [generate_linkpages(42, 400, 30, start=s, stop=s + 93)
+             for s in range(0, 400, 93)]
+    assert pa.concat_tables(parts).equals(full)
+    # and a stop past the end clamps
+    assert generate_linkpages(42, 400, 30, start=372, stop=10**9).equals(
+        full.slice(372))
+
+
 def test_outlinks_kernel_twin_exact():
     for seed in (1, 7, 42):
         t = generate_linkpages(seed, 250, 20)
