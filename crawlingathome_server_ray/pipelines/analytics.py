@@ -30,6 +30,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from .frontier_core import coalesce_slim
+
 BATCH = 65536
 
 
@@ -115,8 +117,9 @@ def q_leaderboard_topk(sf_dir: str, k: int = 20, n_buckets: int = 64):
                              ascending=[False, True],
                              kind="mergesort").head(k)
 
-    merged = (orders.map_batches(partial, batch_format="pyarrow",
-                                 batch_size=BATCH)
+    merged = (coalesce_slim(orders.map_batches(partial,
+                                               batch_format="pyarrow",
+                                               batch_size=BATCH))
               .groupby("bucket").map_groups(bucket_topk,
                                             batch_format="pandas")
               .to_pandas())  # ≤ n_buckets × k rows
@@ -157,8 +160,9 @@ def q_worker_listing(sf_dir: str, k: int = 50, n_buckets: int = 64):
                              kind="mergesort").head(k)[["user_id",
                                                         "first_seen"]]
 
-    merged = (ev.map_batches(partial, batch_format="pyarrow",
-                             batch_size=BATCH)
+    merged = (coalesce_slim(ev.map_batches(partial,
+                                           batch_format="pyarrow",
+                                           batch_size=BATCH))
               .groupby("bucket").map_groups(bucket_topk,
                                             batch_format="pandas")
               .to_pandas())
@@ -298,8 +302,9 @@ def _user_bucketed(ds, n_buckets: int = 64):
         return b.append_column(
             "bucket", pa.array((pd.util.hash_array(u) % n_buckets)
                                .astype(np.int32), pa.int32()))
-    return (ds.map_batches(add_bucket, batch_format="pyarrow",
-                           batch_size=BATCH).groupby("bucket"))
+    return (coalesce_slim(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                         batch_size=BATCH))
+            .groupby("bucket"))
 
 
 def q_events_sessionize(sf_dir: str):
@@ -451,8 +456,9 @@ def q_events_window_count(sf_dir: str, n_buckets: int = 64):
                              "user_id": uid,
                              "n_recent": (hi - lo).astype(np.int64)})
 
-    return (ev.map_batches(add_bucket, batch_format="pyarrow",
-                           batch_size=BATCH)
+    return (coalesce_slim(ev.map_batches(add_bucket,
+                                         batch_format="pyarrow",
+                                         batch_size=BATCH))
             .groupby("bucket").map_groups(window_count,
                                           batch_format="pandas"))
 

@@ -27,6 +27,7 @@ import ray
 import ray.data
 
 from ..functions.canonicalize import md5_hash64
+from .frontier_core import coalesce_slim
 
 BATCH = 8192
 
@@ -106,8 +107,9 @@ def q_tfidf_top_terms(sf_dir: str, k: int = TFIDF_K, n_buckets: int = 16):
                .reset_index())
         return rank(tot)
 
-    per_bucket = (ds.map_batches(partial, batch_format="pyarrow",
-                                 batch_size=BATCH)
+    per_bucket = (coalesce_slim(ds.map_batches(partial,
+                                               batch_format="pyarrow",
+                                               batch_size=BATCH))
                   .groupby("bucket").map_groups(bucket_topk,
                                                 batch_format="pandas"))
     merged = per_bucket.to_pandas()  # ≤ n_buckets × k rows
@@ -432,8 +434,8 @@ def q_doc_repeated_ngrams(sf_dir: str, n_buckets: int = REPGRAM_BUCKETS):
                .sum().reset_index())
         return out.astype({"n_grams": "int64", "n_repeated": "int64"})
 
-    return (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=BATCH)
+    return (coalesce_slim(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=BATCH))
             .groupby("bucket").map_groups(gram_bucket,
                                           batch_format="pandas")
             .groupby("doc_bucket").map_groups(doc_bucket,

@@ -15,6 +15,7 @@ import ray
 import ray.data
 
 from ..functions import ann
+from .frontier_core import coalesce_slim
 from ..functions.canonicalize import md5_hash64, md5_hex
 from ..functions.dedup import (connected_components, hamming64,
                                jaccard_pairs_hashed, minhash_batch,
@@ -44,7 +45,8 @@ def q_doc_dedup_exact(sf_dir: str):
         return pa.table({"h": pa.array(out["h"], pa.string()),
                          "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=BATCH)
+    agg = (coalesce_slim(ds.map_batches(partial, batch_format="pyarrow",
+                                        batch_size=BATCH))
            .groupby("h").min("doc_id"))
     return agg.map_batches(
         lambda b: pa.table({"doc_id": b.column("min(doc_id)")}),
@@ -185,7 +187,8 @@ def q_doc_dedup_keep_best(sf_dir: str):
         return pa.table({"h": pa.array(out["h"], pa.string()),
                          "key": pa.array(out["key"].to_numpy(), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=BATCH)
+    agg = (coalesce_slim(ds.map_batches(partial, batch_format="pyarrow",
+                                        batch_size=BATCH))
            .groupby("h").max("key"))
 
     def decode(b: pa.Table) -> pa.Table:
@@ -386,7 +389,7 @@ def q_minhash_dedup(sf_dir: str, n_perm: int = 64, bands: int = 16,
                              "pair_bucket": _pair_bucket(a, b)})
 
     cand = (bands_ds.map_batches(add_bucket, batch_format="pyarrow",
-                                 batch_size=65536)
+                                 batch_size=1 << 19)
             .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
             .groupby("pair_bucket")
             .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
@@ -483,7 +486,7 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 3):
                              "pair_bucket": _pair_bucket(a[ok], b[ok])})
 
     pairs = (sh_ds.map_batches(explode, batch_format="pyarrow",
-                               batch_size=65536)
+                               batch_size=1 << 18)
              .groupby("bucket").map_groups(emit_verified,
                                            batch_format="pandas")
              .groupby("pair_bucket")
@@ -555,8 +558,8 @@ def q_ngram_jaccard_dup(sf_dir: str,
                           "n_inter": pd.array([], dtype="int64"),
                           "n_union": pd.array([], dtype="int64"),
                           "jac": pd.array([], dtype="float64")})
-    cand = (ds.map_batches(prefix_rows, batch_format="pyarrow",
-                           batch_size=2048)
+    cand = (coalesce_slim(ds.map_batches(prefix_rows, batch_format="pyarrow",
+                                         batch_size=2048))
             .groupby("bucket").map_groups(emit_pairs, batch_format="pandas")
             .groupby("pair_bucket")
             .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
@@ -629,8 +632,8 @@ def _fp_pair_frame(fps_ds, max_group: int = PREFIX_MAX_GROUP,
         return pd.DataFrame({"a_id": a, "b_id": b,
                              "pair_bucket": _pair_bucket(a, b)})
 
-    pairs = (fps_ds.groupby("bucket").map_groups(emit_pairs,
-                                                 batch_format="pandas")
+    pairs = (coalesce_slim(fps_ds).groupby("bucket")
+             .map_groups(emit_pairs, batch_format="pandas")
              .groupby("pair_bucket")
              .map_groups(lambda g: g.drop_duplicates(["a_id", "b_id"])
                          [["a_id", "b_id"]],
@@ -812,7 +815,8 @@ def q_docs_curated(sf_dir: str, n_buckets: int = 64):
         return b.filter(pa.array(nib < 8)).select(
             ["doc_id", "lang_pred", "n_tokens"])
 
-    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
+    return (coalesce_slim(ds.map_batches(prep, batch_format="pyarrow",
+                                         batch_size=BATCH))
             .groupby("bucket").map_groups(first_wins, batch_format="pandas")
             .map_batches(sample, batch_format="pyarrow", batch_size=65536))
 
@@ -903,7 +907,8 @@ def q_docs_scrub_pipeline(sf_dir: str, n_buckets: int = 64):
         g = g.sort_values(["text_h", "doc_id"], kind="mergesort")
         return g[~g["text_h"].duplicated()].drop(columns=["bucket", "text_h"])
 
-    return (ds.map_batches(prep, batch_format="pyarrow", batch_size=BATCH)
+    return (coalesce_slim(ds.map_batches(prep, batch_format="pyarrow",
+                                         batch_size=BATCH))
             .groupby("bucket").map_groups(first_wins, batch_format="pandas"))
 
 
@@ -1058,8 +1063,9 @@ def q_top_bigrams(sf_dir: str, k: int = TOP_BIGRAMS_K, n_buckets: int = 64):
                               kind="mergesort").head(k)
         return tot[["bigram", "n"]]
 
-    per_bucket = (ds.map_batches(partial, batch_format="pyarrow",
-                                 batch_size=BATCH)
+    per_bucket = (coalesce_slim(ds.map_batches(partial,
+                                               batch_format="pyarrow",
+                                               batch_size=BATCH))
                   .groupby("bucket").map_groups(bucket_topk,
                                                 batch_format="pandas"))
     merged = per_bucket.to_pandas()  # ≤ n_buckets × k rows

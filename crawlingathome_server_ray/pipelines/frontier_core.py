@@ -137,6 +137,30 @@ def filter_survivors(canon_ds: Dataset, ts_set: np.ndarray) -> Dataset:
     return canon_ds.map_batches(keep, batch_format="pyarrow")
 
 
+SLIM_COALESCE_ROWS = 1 << 19
+
+
+def coalesce_slim(ds: Dataset, rows: int = SLIM_COALESCE_ROWS) -> Dataset:
+    """Re-batch a slim (few-column, fixed-width) Dataset into large blocks
+    before a sort/groupby shuffle.
+
+    Ray's sort-based shuffle creates (input blocks × output partitions)
+    intermediate objects, and the partition count itself EQUALS the input
+    block count — so feeding it thousands of tiny slim blocks (the natural
+    output of a fine-grained map stage) makes the object count grow
+    QUADRATICALLY with data size. Measured at sfscale (19.2M slim rows)
+    this was the dominant superlinear term in snapshot_delta /
+    frontier_expand / host_degree: snapshot_delta spent 48 s wall in the
+    shuffle against 14 s of remote compute, because 512 blocks × 512
+    partitions = 262k tiny objects. An identity map_batches at a large
+    batch_size is a linear zero-copy-concat pass that caps the block count
+    at total_rows/rows, shrinking the shuffle's object matrix back to
+    ~dozens × dozens. Slim rows are ≤ ~100 B, so the default 512k-row
+    blocks are ~40 MB — object-store friendly at any corpus size."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=rows)
+
+
 N_DEDUP_BUCKETS = 64
 
 
@@ -164,7 +188,10 @@ def dedup_survivors_bucketed(ds_canon: Dataset,
         return (g[~g["url_canon"].duplicated()]
                 .drop(columns=["dedup_bucket"]))
 
-    return (ds_canon.map_batches(add_bucket, batch_format="pyarrow")
+    # large batches: trivial map, and the shuffle needs few big blocks
+    # (see coalesce_slim) — rows carry two url strings, ~150 B each
+    return (ds_canon.map_batches(add_bucket, batch_format="pyarrow",
+                                 batch_size=1 << 18)
             .groupby("dedup_bucket")
             .map_groups(first_wins, batch_format="pandas"))
 

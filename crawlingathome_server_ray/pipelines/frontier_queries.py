@@ -334,7 +334,7 @@ def q_snapshot_delta(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         return pd.DataFrame({"url": agg.index.to_numpy(dtype=object)[keep],
                              "status": status[keep]})
 
-    return (a.union(b).groupby("bucket")
+    return (core.coalesce_slim(a.union(b)).groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
 
 
@@ -397,6 +397,7 @@ def q_url_pattern_mine(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         return tot[["host", "seg", "n", "seg_rank"]]
 
     slim = _slim(sf_dir, cfg)
-    return (slim.map_batches(partial, batch_format="pyarrow",
-                             batch_size=cfg.batch_size)
+    return (core.coalesce_slim(slim.map_batches(partial,
+                                                batch_format="pyarrow",
+                                                batch_size=cfg.batch_size))
             .groupby("bucket").map_groups(final, batch_format="pandas"))

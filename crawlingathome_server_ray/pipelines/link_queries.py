@@ -42,8 +42,15 @@ import ray.data
 
 from ..functions.links import anchors_batch, host_of, outlinks_batch
 from ..sources.link_synth import ensure_links
+from .frontier_core import coalesce_slim
 
+# HTML-parsing stages: payloads are fat (whole pages), keep batches small.
 LINK_BATCH = 4096
+# Slim-input combiner stages (url strings / host pairs / counts): large
+# batches mean 16× better map-side combining AND far fewer blocks feeding
+# the bucket shuffle (see frontier_core.coalesce_slim on why block count
+# entering a Ray sort must stay small — the object matrix is quadratic).
+SLIM_BATCH = 65536
 
 
 def links_ds(sf_dir: str):
@@ -126,10 +133,11 @@ def q_host_link_graph(sf_dir: str):
             out["n_links"] = out["n_links"].astype("int64")
             return out[["src_host", "dst_host", "n_links"]]
 
-        _GRAPH_CACHE[key] = (q_outlink_extract(sf_dir)
+        _GRAPH_CACHE[key] = (coalesce_slim(
+                                q_outlink_extract(sf_dir)
                                 .map_batches(partial,
                                              batch_format="pyarrow",
-                                             batch_size=LINK_BATCH)
+                                             batch_size=SLIM_BATCH))
                                 .groupby("bucket")
                                 .map_groups(fold, batch_format="pandas")
                                 .materialize())
@@ -349,9 +357,9 @@ def q_host_degree(sf_dir: str):
         out = g.groupby("host", sort=False, as_index=False)[cols].sum()
         return out.astype({c: "int64" for c in cols})[["host"] + cols]
 
-    return (q_host_link_graph(sf_dir)
-            .map_batches(partial, batch_format="pyarrow",
-                         batch_size=LINK_BATCH)
+    return (coalesce_slim(q_host_link_graph(sf_dir)
+                          .map_batches(partial, batch_format="pyarrow",
+                                       batch_size=SLIM_BATCH))
             .groupby("bucket").map_groups(fold, batch_format="pandas"))
 
 
@@ -377,8 +385,8 @@ def q_reciprocal_hosts(sf_dir: str):
                          "host_b": b.column("src_host"),
                          "n_ba": b.column("n_links").cast(pa.int64())})
 
-    a = g.map_batches(fwd, batch_format="pyarrow", batch_size=LINK_BATCH)
-    b = g.map_batches(rev, batch_format="pyarrow", batch_size=LINK_BATCH)
+    a = g.map_batches(fwd, batch_format="pyarrow", batch_size=SLIM_BATCH)
+    b = g.map_batches(rev, batch_format="pyarrow", batch_size=SLIM_BATCH)
     cpus = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
     return a.join(b, join_type="inner",
@@ -423,9 +431,9 @@ def q_inlink_anchor_topk(sf_dir: str, k: int = ANCHOR_TOPK,
         tot["n"] = tot["n"].astype("int64")
         return tot[["dst_host", "anchor", "n", "anchor_rank"]]
 
-    return (q_anchor_text(sf_dir)
-            .map_batches(partial, batch_format="pyarrow",
-                         batch_size=LINK_BATCH)
+    return (coalesce_slim(q_anchor_text(sf_dir)
+                          .map_batches(partial, batch_format="pyarrow",
+                                       batch_size=SLIM_BATCH))
             .groupby("bucket").map_groups(final, batch_format="pandas"))
 
 
@@ -475,11 +483,11 @@ def q_frontier_expand(sf_dir: str):
             "is_page": pa.array(np.ones(n, np.int64), pa.int64())}))
 
     cand = q_outlink_extract(sf_dir).map_batches(
-        partial, batch_format="pyarrow", batch_size=LINK_BATCH)
+        partial, batch_format="pyarrow", batch_size=SLIM_BATCH)
     root = ensure_links(sf_dir)
     crawled = ray.data.read_parquet(
         os.path.join(root, "linkpages"), columns=["url"]).map_batches(
-        pages, batch_format="pyarrow", batch_size=LINK_BATCH)
+        pages, batch_format="pyarrow", batch_size=SLIM_BATCH)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("url", sort=False)[["n", "is_page"]].sum()
@@ -488,7 +496,7 @@ def q_frontier_expand(sf_dir: str):
             "url": agg.index.to_numpy(dtype=object)[keep],
             "n_inlinks": agg["n"].to_numpy(np.int64)[keep]})
 
-    return (cand.union(crawled).groupby("bucket")
+    return (coalesce_slim(cand.union(crawled)).groupby("bucket")
             .map_groups(fold, batch_format="pandas"))
 
 

@@ -21,6 +21,7 @@ import ray
 import ray.data
 
 from ..functions.canonicalize import md5_hash64
+from .frontier_core import coalesce_slim
 
 BATCH = 8192
 HASH_MOD = 1_000_000_007  # token-checksum modulus (fits any int64 sum)
@@ -279,8 +280,9 @@ def q_doc_line_dedup(sf_dir: str):
             "lbucket": pa.array((out["line_h"].to_numpy(np.int64)
                                  % LINE_BUCKETS).astype(np.int32), pa.int32())})
 
-    firsts = (ds.map_batches(first_partial, batch_format="pyarrow",
-                             batch_size=BATCH)
+    firsts = (coalesce_slim(ds.map_batches(first_partial,
+                                           batch_format="pyarrow",
+                                           batch_size=BATCH))
               .groupby("lbucket")
               .map_groups(lambda g: g.groupby("line_h", sort=False)
                           ["first_key"].min().reset_index(),
