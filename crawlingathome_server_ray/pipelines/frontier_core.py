@@ -156,9 +156,20 @@ def coalesce_slim(ds: Dataset, rows: int = SLIM_COALESCE_ROWS) -> Dataset:
     batch_size is a linear zero-copy-concat pass that caps the block count
     at total_rows/rows, shrinking the shuffle's object matrix back to
     ~dozens × dozens. Slim rows are ≤ ~100 B, so the default 512k-row
-    blocks are ~40 MB — object-store friendly at any corpus size."""
+    blocks are ~40 MB — object-store friendly at any corpus size.
+
+    ``num_cpus=0.999`` is a deliberate FUSION BLOCKER, not a resource
+    hint: Ray fuses consecutive task-pool map_batches and bundles the
+    fused task's INPUT to the chain's largest batch_size — fused with a
+    compute-heavy upstream map, this 512k batch_size would serialize the
+    whole upstream stage into a handful of tasks (measured: the fused
+    html-parse → partial → coalesce chain of q_host_link_graph ran as
+    ONE task, 17 s vs 6 s). Incompatible remote args keep the coalesce
+    a separate, trivially cheap operator. (Dataset.repartition with
+    target_num_rows_per_block is not an alternative: it only splits
+    blocks, never merges them.)"""
     return ds.map_batches(lambda t: t, batch_format="pyarrow",
-                          batch_size=rows)
+                          batch_size=rows, num_cpus=0.999)
 
 
 N_DEDUP_BUCKETS = 64
