@@ -64,6 +64,7 @@ _FRONTIER_QUERIES = {
     "recrawl_priority": _fq.q_recrawl_priority,
     "url_pattern_mine": _fq.q_url_pattern_mine,
     "snapshot_delta": _fq.q_snapshot_delta,
+    "host_change_rate": _fq.q_host_change_rate,
 }
 
 
@@ -106,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
     sqls.update(TRAINING_SQL)
     sqls["binary_meta"] = sql_binary_meta(pages_path(_SF_ORACLE))
     sqls["snapshot_delta"] = _fq.sql_snapshot_delta(
+        pages_path(_SF_ORACLE), _SNAP2_PATH)
+    sqls["host_change_rate"] = _fq.sql_host_change_rate(
         pages_path(_SF_ORACLE), _SNAP2_PATH)
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     import os as _os

@@ -167,6 +167,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(lq.q_frontier_expand(sf_dir)))
         timed("snapshot_delta",
               lambda: consume(fq.q_snapshot_delta(sf_dir)))
+        timed("host_change_rate",
+              lambda: consume(fq.q_host_change_rate(sf_dir)))
         timed("lang_mix_sample",
               lambda: consume(cu.q_lang_mix_sample(sf_dir)))
         return times, meta

@@ -355,6 +355,154 @@ FROM a FULL OUTER JOIN b ON a.url = b.url
 WHERE b.url IS NULL OR a.url IS NULL OR a.h <> b.h"""
 
 
+def q_host_change_rate(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Per-host content change-rate between crawl snapshots A and B — the
+    change-frequency estimate a continuous crawler feeds into its recrawl
+    scheduler (public basis: Cho & Garcia-Molina, "Synchronizing a database
+    to improve freshness", SIGMOD 2000 — per-source change rates set
+    revisit frequency; ``q_recrawl_priority`` supplies the importance
+    term, this supplies the freshness term).
+
+    Same ONE-shuffle shape as :func:`q_snapshot_delta` but keyed by
+    hash-bucket(HOST) (a url's host is a pure function of the url, so
+    every row of a url — and every url of a host — lands in one bucket ⇒
+    exact). Each side slims per batch to distinct (url, 63-bit content
+    hash) with the other side's hash at the −1 sentinel; a single
+    ``groupby(bucket).map_groups`` folds per url, classifies
+    added/removed/changed/unchanged vectorized, then aggregates counts
+    per host in-group. The shuffle carries one slim row per distinct
+    (url, hash) — no text, no join operator, no driver state; buckets ≈
+    8 × cores is the knob a 256-node run raises.
+
+    Output: (host, n_added, n_removed, n_changed, n_unchanged,
+    change_rate) where change_rate = changed / (changed + unchanged)
+    over the urls that persist in both snapshots (0.0 when none do).
+
+    Reference analog: none — the reference crawls each shard exactly once
+    (models.py:31-32); this is the continuous-crawl extension."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from ..functions.canonicalize import md5_hash64
+    from ..sources.synth import ensure_snapshot2, frontier_dir
+
+    p2 = ensure_snapshot2(sf_dir)
+    p1 = os.path.join(frontier_dir(sf_dir), "pages")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_buckets = max(64, cpus * 8)
+
+    def hashed(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            h = (md5_hash64(b.column("text")) >> np.uint64(1)) \
+                .astype(np.int64)                     # 63-bit, always ≥ 0
+            t = (pa.table({"url": b.column("url"),
+                           "h": pa.array(h, pa.int64())})
+                 .group_by(["url", "h"]).aggregate([]))     # local distinct
+            urls = t.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            # raw-url host: lowercased authority, any :port stripped —
+            # mirrored verbatim by the oracle's regexp_replace/lower pair
+            host = pc.replace_substring_regex(
+                pc.utf8_lower(pc.replace_substring_regex(
+                    urls, pattern=r"^[^:/?#]+://([^/?#]*).*$",
+                    replacement=r"\1")),
+                pattern=":[0-9]*$", replacement="")
+            n = t.num_rows
+            bucket = (pd.util.hash_array(
+                host.to_pandas().to_numpy(dtype=object)) % n_buckets
+            ).astype(np.int32)
+            sent = pa.array(np.full(n, -1, np.int64), pa.int64())
+            ha = t.column("h") if side == "a" else sent
+            hb = t.column("h") if side == "b" else sent
+            return pa.table({"url": urls, "host": host, "ha": ha, "hb": hb,
+                             "bucket": pa.array(bucket, pa.int32())})
+        return fn
+
+    a = ray.data.read_parquet(p1, columns=["url", "text"]).map_batches(
+        hashed("a"), batch_format="pyarrow", batch_size=cfg.batch_size)
+    b = ray.data.read_parquet(p2, columns=["url", "text"]).map_batches(
+        hashed("b"), batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # same single-version-per-snapshot contract as q_snapshot_delta:
+        # rows are per-batch-distinct, so dedup globally, then a url with
+        # two distinct hashes on one side would silently mis-classify —
+        # assert instead (dedup upstream with doc_dedup_keep_best first)
+        gd = g.drop_duplicates(["url", "ha", "hb"])
+        na = (gd.assign(_a=(gd["ha"].to_numpy(np.int64) != -1).astype(np.int64),
+                        _b=(gd["hb"].to_numpy(np.int64) != -1).astype(np.int64))
+              .groupby("url", sort=False)[["_a", "_b"]].sum())
+        if (na.to_numpy(np.int64) > 1).any():
+            bad = na.index[(na["_a"] > 1) | (na["_b"] > 1)][:3].tolist()
+            raise ValueError(
+                "host_change_rate: url(s) with multiple distinct content "
+                f"hashes within one snapshot (e.g. {bad}); change rates "
+                "are defined on single-version snapshots")
+        agg = g.groupby("url", sort=False).agg(
+            ha=("ha", "max"), hb=("hb", "max"), host=("host", "first"))
+        ha = agg["ha"].to_numpy(np.int64)
+        hb = agg["hb"].to_numpy(np.int64)
+        removed = hb == -1
+        added = ha == -1
+        changed = ~removed & ~added & (ha != hb)
+        unchanged = ~removed & ~added & (ha == hb)
+        per = pd.DataFrame({
+            "host": agg["host"].to_numpy(dtype=object),
+            "n_added": added.astype(np.int64),
+            "n_removed": removed.astype(np.int64),
+            "n_changed": changed.astype(np.int64),
+            "n_unchanged": unchanged.astype(np.int64),
+        }).groupby("host", sort=False, as_index=False).sum()
+        persist = (per["n_changed"] + per["n_unchanged"]).to_numpy(np.int64)
+        with np.errstate(invalid="ignore"):
+            rate = np.where(persist == 0, 0.0,
+                            per["n_changed"].to_numpy(np.float64)
+                            / np.maximum(persist, 1))
+        per["change_rate"] = rate
+        return per
+
+    return (core.coalesce_slim(a.union(b)).groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def sql_host_change_rate(pages_path: str, pages2_path: str) -> str:
+    """DuckDB oracle: full outer join of the two snapshots' distinct
+    (url, md5(text)) projections, host extracted from the raw url with
+    the same lowercase-authority / strip-port rule, grouped per host."""
+    return f"""
+WITH a AS (SELECT DISTINCT url, md5(text) AS h
+           FROM read_parquet('{pages_path}/*.parquet')),
+     b AS (SELECT DISTINCT url, md5(text) AS h
+           FROM read_parquet('{pages2_path}/*.parquet')),
+     j AS (SELECT coalesce(a.url, b.url) AS url, a.h AS ha, b.h AS hb
+           FROM a FULL OUTER JOIN b ON a.url = b.url),
+     s AS (SELECT regexp_replace(
+                    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+                    ':[0-9]*$', '') AS host,
+                  CASE WHEN hb IS NULL THEN 'removed'
+                       WHEN ha IS NULL THEN 'added'
+                       WHEN ha <> hb THEN 'changed'
+                       ELSE 'unchanged' END AS st
+           FROM j)
+SELECT host,
+       CAST(count(*) FILTER (WHERE st = 'added')     AS BIGINT) AS n_added,
+       CAST(count(*) FILTER (WHERE st = 'removed')   AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE st = 'changed')   AS BIGINT) AS n_changed,
+       CAST(count(*) FILTER (WHERE st = 'unchanged') AS BIGINT) AS n_unchanged,
+       CASE WHEN count(*) FILTER (WHERE st IN ('changed', 'unchanged')) = 0
+            THEN 0.0
+            ELSE CAST(count(*) FILTER (WHERE st = 'changed') AS DOUBLE)
+                 / count(*) FILTER (WHERE st IN ('changed', 'unchanged'))
+       END AS change_rate
+FROM s GROUP BY host"""
+
+
 PATTERN_TOPK = 3
 
 

@@ -55,6 +55,41 @@ def test_snapshot_delta_matches_oracle(ray_session):
                         "snapshot_delta")
 
 
+def test_host_change_rate_matches_oracle(ray_session):
+    from crawlingathome_server_ray.sources.synth import ensure_snapshot2
+    p2 = ensure_snapshot2(SF)
+    sql = fq.sql_host_change_rate(pages_path(SF), p2)
+    assert_frames_match(fq.q_host_change_rate(SF), duckdb.sql(sql).df(),
+                        "host_change_rate")
+
+
+def test_host_change_rate_consistent_with_delta(ray_session):
+    """Semantic twin: per-host added/removed/changed counts must equal the
+    url-level snapshot_delta grouped by host, and every host's persisting
+    rate must live in [0, 1]."""
+    import numpy as np
+    import pandas as pd
+
+    rates = fq.q_host_change_rate(SF).to_pandas()
+    delta = fq.q_snapshot_delta(SF).to_pandas()
+    delta["host"] = (delta["url"].str.extract(r"^[^:/?#]+://([^/?#]*)")[0]
+                     .str.lower().str.replace(r":[0-9]*$", "", regex=True))
+    per = (delta.pivot_table(index="host", columns="status", values="url",
+                             aggfunc="count", fill_value=0)
+           .reindex(columns=["added", "removed", "changed"], fill_value=0))
+    merged = rates.set_index("host").join(per, how="left").fillna(0)
+    assert (merged["n_added"].to_numpy(np.int64)
+            == merged["added"].to_numpy(np.int64)).all()
+    assert (merged["n_removed"].to_numpy(np.int64)
+            == merged["removed"].to_numpy(np.int64)).all()
+    assert (merged["n_changed"].to_numpy(np.int64)
+            == merged["changed"].to_numpy(np.int64)).all()
+    r = rates["change_rate"].to_numpy(np.float64)
+    assert ((r >= 0.0) & (r <= 1.0)).all()
+    # the synthetic snapshot changes ~1/16 of urls: some host must change
+    assert rates["n_changed"].sum() > 0
+
+
 def test_snapshot_delta_text_equality_twin(ray_session):
     """Independent pandas twin comparing the TEXTS directly (no md5):
     validates that the hash-compare delta equals the text-compare delta
