@@ -135,6 +135,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timed("doc_pii_scrub", lambda: consume(dq.q_doc_pii_scrub(sf_dir)))
         timed("top_bigrams", lambda: consume(dq.q_top_bigrams(sf_dir)))
         timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
+        timed("ann_pq_topk", lambda: consume(dq.q_ann_pq_topk(sf_dir)))
         timed("cosine_near_dup_ivf",
               lambda: consume(dq.q_cosine_near_dup_ivf(sf_dir)))
         timed("embedding_kmeans", lambda: consume(dq.q_embedding_kmeans(sf_dir)))

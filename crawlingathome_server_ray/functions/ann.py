@@ -347,6 +347,168 @@ def cosine_near_dup_pairs(sf_dir: str, limit_ids: int = 1000,
     return pdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
 
 
+# ------------------------------------------------------ product quantization
+def _pq_lloyd(sub: np.ndarray, n_codes: int, seed: int,
+              n_iter: int = 15) -> np.ndarray:
+    """Plain (non-spherical) seeded Lloyd's on one subspace's training
+    sample — PQ codebooks quantize raw subvectors, so L2 means, not
+    direction-only updates. Centroids rounded to 1e-6 per round so the
+    fit is reproducible bit-for-bit across platforms (same discipline as
+    :func:`kmeans_fit`). Empty cells keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    k = min(n_codes, len(sub))
+    cent = np.round(sub[rng.choice(len(sub), size=k, replace=False)], 6)
+    for _ in range(n_iter):
+        # ||x - c||² argmin ≡ argmax(x·c − ||c||²/2); one matmul per round
+        d2 = sub @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        a = np.argmax(d2, axis=1)
+        cent = cent.copy()
+        for c in range(k):
+            sel = sub[a == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = np.round(cent, 6)
+    if k < n_codes:   # tiny corpus: pad with copies so codes stay uint8-dense
+        cent = np.vstack([cent, np.repeat(cent[:1], n_codes - k, axis=0)])
+    return cent
+
+
+def pq_build(sf_dir: str, m_sub: int = 8, n_codes: int = 256, seed: int = 42,
+             index_root: str | None = None, batch_size: int = 8192,
+             train_sample: int = 4096) -> str:
+    """Build (idempotently) the product-quantization index over the
+    ``embeddings`` table: ``m_sub`` codebooks of ``n_codes`` centroids each
+    (Jégou, Douze & Schmid, "Product quantization for nearest neighbor
+    search", TPAMI 2011), trained driver-side on a bounded deterministic
+    head sample of NORMALIZED vectors (cosine ≙ inner product after
+    normalization, so IP-ADC below estimates cosine), then ONE distributed
+    encode pass writing the slim codes table: (vec_id, m_sub uint8 codes)
+    — 8 bytes/vector at the defaults vs 512 bytes of float64 (64×; a
+    10^10-vector corpus compresses to ~80 GB of scannable codes). The
+    codebook tensor (m_sub × n_codes × d/m_sub, ~128 KB) broadcasts via
+    ``ray.put``; crash-safe atomic ``.tmp`` rename + mtime/size
+    fingerprint cache key, exactly like :func:`ivf_build`.
+
+    Reference analog: none (the reference stores no embeddings); this is
+    the memory-bound scale path the brief's similarity-search family
+    needs at 100 TB."""
+    import os
+    import shutil
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_root = index_root or (
+        f"/tmp/graft_pq/{tag}_m{m_sub}_k{n_codes}_s{seed}"
+        f"_{_dataset_fingerprint(src)}")
+    marker = os.path.join(index_root, "_BUILT")
+    if os.path.exists(marker):
+        return index_root
+    shutil.rmtree(index_root, ignore_errors=True)
+    tmp_root = index_root + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    sample = kmeans_head_sample(src, train_sample)      # normalized rows
+    d = sample.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    sd = d // m_sub
+    cb = np.stack([_pq_lloyd(sample[:, mm * sd:(mm + 1) * sd], n_codes,
+                             seed + mm)
+                   for mm in range(m_sub)])             # (m, n_codes, sd)
+    cb_ref = ray.put(cb)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        mn = normalize_rows(m)
+        codebooks = ray.get(cb_ref)
+        codes = np.empty((len(ids), m_sub), np.uint8)
+        for mm in range(m_sub):
+            sub = mn[:, mm * sd:(mm + 1) * sd]
+            cent = codebooks[mm]
+            d2 = sub @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+            codes[:, mm] = np.argmax(d2, axis=1).astype(np.uint8)
+        code_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), m_sub)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "code": code_col})
+
+    (ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+     .map_batches(encode, batch_format="pyarrow", batch_size=batch_size)
+     .write_parquet(os.path.join(tmp_root, "codes")))
+    np.save(os.path.join(tmp_root, "codebooks.npy"), cb)
+    with open(os.path.join(tmp_root, "_BUILT"), "w") as f:
+        f.write("ok")
+    os.rename(tmp_root, index_root)
+    return index_root
+
+
+def pq_topk(sf_dir: str, n_queries: int = 10, k: int = 10, m_sub: int = 8,
+            n_codes: int = 256, seed: int = 42, batch_size: int = 65536,
+            stats: dict | None = None):
+    """Asymmetric-distance (ADC) top-k over the PQ codes: the query keeps
+    full precision; per query one (m_sub × n_codes) lookup table of
+    subspace inner products is built driver-side, and the scan touches
+    ONLY the codes parquet (never the raw vectors) — each batch's
+    estimated cosine is ``m_sub`` vectorized uint8 gathers + adds, a
+    memory-bandwidth-light pass over 8-byte rows. Local per-batch top-k →
+    tiny driver heap merge, exactly the :func:`brute_force_topk` shape.
+    Output schema matches it (query_id, rank, vec_id); approximate —
+    recall vs brute force measured in pytest. Pass ``stats={}`` to
+    receive {bytes_raw, bytes_codes} (the compression evidence)."""
+    import os
+    index_root = pq_build(sf_dir, m_sub, n_codes, seed)
+    cb = np.load(os.path.join(index_root, "codebooks.npy"))
+    sd = cb.shape[2]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    qt = (ds.filter(expr=f"vec_id < {n_queries}")
+          .to_pandas().sort_values("vec_id"))
+    q_ids = qt["vec_id"].to_numpy(dtype=np.int64)
+    qm = normalize_rows(np.stack(qt["embedding"].to_numpy())
+                        .astype(np.float64))
+    # (n_q, m_sub, n_codes): lut[j, mm, c] = q_j[mm-th subspace] · cb[mm][c]
+    lut = np.einsum("qms,mcs->qmc",
+                    qm.reshape(len(q_ids), m_sub, sd), cb)
+    q_ref = ray.put((q_ids, lut))
+
+    if stats is not None:
+        n_total = ds.count()
+        stats.update(bytes_raw=n_total * qm.shape[1] * 8,
+                     bytes_codes=n_total * m_sub)
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        col = batch.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = np.asarray(col.values, dtype=np.uint8).reshape(len(ids), -1)
+        qi, tables = ray.get(q_ref)
+        sims = np.zeros((len(qi), len(ids)), np.float64)
+        for mm in range(codes.shape[1]):
+            sims += tables[:, mm, :][:, codes[:, mm]]
+        out_q, out_v, out_s = [], [], []
+        kk = min(k + 1, len(ids))
+        for j, qid in enumerate(qi):
+            row = sims[j]
+            top = np.argpartition(-row, kk - 1)[:kk]
+            for t in top:
+                if ids[t] != qid:
+                    out_q.append(qid); out_v.append(ids[t]); out_s.append(row[t])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    pdf = (ray.data.read_parquet(os.path.join(index_root, "codes"))
+           .map_batches(local, batch_format="pyarrow", batch_size=batch_size)
+           .to_pandas())
+    pdf = pdf.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    pdf = pdf.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
+    return pdf[["query_id", "rank", "vec_id"]].astype(
+        {"query_id": "int64", "rank": "int64", "vec_id": "int64"})
+
+
 # ---------------------------------------------------------- k-means (full)
 def kmeans_head_sample(path: str, n: int) -> np.ndarray:
     """Bounded deterministic init sample: the first ``n`` rows of the

@@ -1108,6 +1108,13 @@ def q_ann_ivf_topk(sf_dir: str):
     return ann.ivf_topk(sf_dir, n_queries=10, k=10)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantization ADC variant (rows-only; recall vs brute force
+    + compression ratio tested in pytest) — the memory-bound scale path:
+    the search scans 8-byte code rows, never the raw vectors."""
+    return ann.pq_topk(sf_dir, n_queries=10, k=10)
+
+
 COSINE_DUP_THRESHOLD = 0.4  # calibrated to the synthetic embeddings
 # (random-ish 64-dim vectors: max off-diagonal cosine ≈ 0.48, so 0.4 yields a
 # small, meaningful pair set; production near-dup would use 0.9+)
@@ -1200,6 +1207,7 @@ DOCS_QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_ivf": q_cosine_near_dup_ivf,
     "embedding_kmeans": q_embedding_kmeans,

@@ -119,6 +119,33 @@ def test_ivf_partition_pruned_read(ray_session):
     assert stats["files_read"] < stats["files_total"]
 
 
+def test_pq_recall_vs_brute_force(ray_session):
+    """PQ-ADC top-k must stay useful: mean recall@10 ≥ 0.5 vs brute force
+    (measures 0.7 on the synthetic 64-dim corpus at the 8×256 defaults)."""
+    bf = to_pandas(dq.q_ann_topk(SF))
+    pq_ = to_pandas(dq.q_ann_pq_topk(SF))
+    bf_sets = bf.groupby("query_id")["vec_id"].apply(set)
+    pq_sets = pq_.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.5, f"PQ mean recall: {recalls}"
+
+
+def test_pq_compression_and_determinism(ray_session):
+    """The ADC scan touches only the 8-byte code rows (64× smaller than
+    the float64 corpus), and a rebuilt-from-cache search is identical."""
+    import shutil
+    import pandas as pd
+    from crawlingathome_server_ray.functions import ann
+    stats = {}
+    a = ann.pq_topk(SF, n_queries=5, k=5, stats=stats)
+    assert stats["bytes_raw"] / stats["bytes_codes"] == 64.0
+    shutil.rmtree("/tmp/graft_pq", ignore_errors=True)   # force fresh build
+    b = ann.pq_topk(SF, n_queries=5, k=5)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
 def test_cosine_near_dup_ivf_recall(ray_session):
     """IVF-cell near-dup pairs: no false positives (every pair really is
     ≥ threshold) and recall ≥ 0.5 vs the exact broadcast variant."""
