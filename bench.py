@@ -136,6 +136,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         timed("top_bigrams", lambda: consume(dq.q_top_bigrams(sf_dir)))
         timed("ann_topk", lambda: consume(dq.q_ann_topk(sf_dir)))
         timed("ann_pq_topk", lambda: consume(dq.q_ann_pq_topk(sf_dir)))
+        timed("ann_ivfpq_topk",
+              lambda: consume(dq.q_ann_ivfpq_topk(sf_dir)))
         timed("cosine_near_dup_ivf",
               lambda: consume(dq.q_cosine_near_dup_ivf(sf_dir)))
         timed("embedding_kmeans", lambda: consume(dq.q_embedding_kmeans(sf_dir)))

@@ -1115,6 +1115,13 @@ def q_ann_pq_topk(sf_dir: str):
     return ann.pq_topk(sf_dir, n_queries=10, k=10)
 
 
+def q_ann_ivfpq_topk(sf_dir: str):
+    """Combined IVF-PQ variant (rows-only; recall + pruned-read +
+    compression tested in pytest) — the 10^10-vector production layout:
+    partition-pruned cell reads over 64×-compressed codes."""
+    return ann.ivfpq_topk(sf_dir, n_queries=10, k=10)
+
+
 COSINE_DUP_THRESHOLD = 0.4  # calibrated to the synthetic embeddings
 # (random-ish 64-dim vectors: max off-diagonal cosine ≈ 0.48, so 0.4 yields a
 # small, meaningful pair set; production near-dup would use 0.9+)
@@ -1208,6 +1215,7 @@ DOCS_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_ivf": q_cosine_near_dup_ivf,
     "embedding_kmeans": q_embedding_kmeans,

@@ -146,6 +146,27 @@ def test_pq_compression_and_determinism(ray_session):
                                   b.reset_index(drop=True))
 
 
+def test_ivfpq_recall_and_pruned_read(ray_session):
+    """IVF-PQ composes both approximations: recall@10 ≥ 0.4 vs brute
+    force (doubly approximate), the search reads only the probed cells'
+    code files, and the codes stay 64× smaller than the raw corpus."""
+    import shutil
+    from crawlingathome_server_ray.functions import ann
+    shutil.rmtree("/tmp/graft_ivfpq", ignore_errors=True)
+    stats = {}
+    out = ann.ivfpq_topk(SF, n_queries=10, k=10, nprobe=4, stats=stats)
+    assert len(out) > 0
+    assert stats["cells_read"] <= 10 * 4
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["bytes_raw"] / stats["bytes_codes"] == 64.0
+    bf = to_pandas(dq.q_ann_topk(SF))
+    bf_sets = bf.groupby("query_id")["vec_id"].apply(set)
+    pq_sets = out.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(bf_sets[q] & pq_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets.index]
+    assert sum(recalls) / len(recalls) >= 0.4, f"IVFPQ recall: {recalls}"
+
+
 def test_cosine_near_dup_ivf_recall(ray_session):
     """IVF-cell near-dup pairs: no false positives (every pair really is
     ≥ threshold) and recall ≥ 0.5 vs the exact broadcast variant."""
