@@ -65,6 +65,7 @@ _FRONTIER_QUERIES = {
     "url_pattern_mine": _fq.q_url_pattern_mine,
     "snapshot_delta": _fq.q_snapshot_delta,
     "host_change_rate": _fq.q_host_change_rate,
+    "crawl_budget_alloc": _fq.q_crawl_budget_alloc,
 }
 
 
@@ -109,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["snapshot_delta"] = _fq.sql_snapshot_delta(
         pages_path(_SF_ORACLE), _SNAP2_PATH)
     sqls["host_change_rate"] = _fq.sql_host_change_rate(
+        pages_path(_SF_ORACLE), _SNAP2_PATH)
+    sqls["crawl_budget_alloc"] = _fq.sql_crawl_budget_alloc(
         pages_path(_SF_ORACLE), _SNAP2_PATH)
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     import os as _os

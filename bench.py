@@ -172,6 +172,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(fq.q_snapshot_delta(sf_dir)))
         timed("host_change_rate",
               lambda: consume(fq.q_host_change_rate(sf_dir)))
+        timed("crawl_budget_alloc",
+              lambda: consume(fq.q_crawl_budget_alloc(sf_dir)))
         timed("lang_mix_sample",
               lambda: consume(cu.q_lang_mix_sample(sf_dir)))
         return times, meta

@@ -503,6 +503,75 @@ SELECT host,
 FROM s GROUP BY host"""
 
 
+BUDGET_TOTAL = 10_000
+
+
+def q_crawl_budget_alloc(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                         budget: int = BUDGET_TOTAL):
+    """Adaptive crawl-budget apportionment: divide a global per-round
+    fetch budget across hosts proportional to their observed change
+    signals, using the Hamilton / largest-remainder method (exact integer
+    apportionment — the same scheme legislatures use for seats; every
+    quantity below is int64, so the DuckDB oracle matches bit-for-bit,
+    no float division anywhere).
+
+    Weight per host: ``w = 2·n_changed + n_added + 1`` (changed pages
+    need recrawl, new pages need first crawl, +1 keeps dormant hosts
+    eligible); base share = floor(B·w / W); the L = B − Σbase leftover
+    slots go to the L largest remainders ``(B·w) mod W`` (ties: host
+    ascending). Σ fetch_budget == B by construction (asserted).
+
+    The heavy part — per-url change classification from the two
+    snapshots — is the distributed host-bucketed fold of
+    :func:`q_host_change_rate`; the apportionment itself runs on the
+    per-HOST aggregate, O(#hosts) driver state with the same documented
+    bound as the PageRank rank vector (link_queries X31) — at 10^8 hosts
+    that is three int64 vectors, and the fold never ships urls to the
+    driver.
+
+    Reference analog: the politeness budget (north_rule) made adaptive;
+    the reference's frontier has no per-host budget at all."""
+    import numpy as np
+
+    per = q_host_change_rate(sf_dir, cfg).to_pandas()
+    hosts = per["host"].to_numpy(dtype=object)
+    w = (2 * per["n_changed"].to_numpy(np.int64)
+         + per["n_added"].to_numpy(np.int64) + 1)
+    W = int(w.sum())
+    bw = np.int64(budget) * w
+    base = bw // W
+    rem = bw % W
+    n_left = int(budget - base.sum())
+    order = np.lexsort((hosts, -rem))        # rem desc, host asc
+    out = base.copy()
+    out[order[:n_left]] += 1
+    assert int(out.sum()) == budget
+    return pd.DataFrame({"host": hosts, "w": w,
+                         "fetch_budget": out}).astype(
+        {"w": "int64", "fetch_budget": "int64"})
+
+
+def sql_crawl_budget_alloc(pages_path: str, pages2_path: str,
+                           budget: int = BUDGET_TOTAL) -> str:
+    """DuckDB oracle: the same integer Hamilton apportionment over the
+    host change-rate CTE — `//` and `%` on BIGINT, a window rank on
+    (remainder DESC, host) for the leftover slots."""
+    rates = sql_host_change_rate(pages_path, pages2_path)
+    return f"""
+WITH rates AS ({rates}),
+w AS (SELECT host, CAST(2 * n_changed + n_added + 1 AS BIGINT) AS w
+      FROM rates),
+tot AS (SELECT sum(w) AS tw, CAST({budget} AS BIGINT) AS b FROM w),
+calc AS (SELECT host, w, (b * w) // tw AS base, (b * w) % tw AS rem
+         FROM w, tot),
+l AS (SELECT (SELECT b FROM tot) - sum(base) AS n_left FROM calc)
+SELECT host, w,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, host)
+                             <= (SELECT n_left FROM l)
+                        THEN 1 ELSE 0 END AS BIGINT) AS fetch_budget
+FROM calc"""
+
+
 PATTERN_TOPK = 3
 
 

@@ -90,6 +90,28 @@ def test_host_change_rate_consistent_with_delta(ray_session):
     assert rates["n_changed"].sum() > 0
 
 
+def test_crawl_budget_alloc_matches_oracle(ray_session):
+    from crawlingathome_server_ray.sources.synth import ensure_snapshot2
+    p2 = ensure_snapshot2(SF)
+    sql = fq.sql_crawl_budget_alloc(pages_path(SF), p2)
+    assert_frames_match(fq.q_crawl_budget_alloc(SF), duckdb.sql(sql).df(),
+                        "crawl_budget_alloc")
+
+
+def test_crawl_budget_alloc_invariants(ray_session):
+    """Hamilton apportionment: budgets sum exactly to B, and every host
+    gets its floor share or floor+1 (the quota property)."""
+    import numpy as np
+    out = fq.q_crawl_budget_alloc(SF)
+    B = fq.BUDGET_TOTAL
+    assert int(out["fetch_budget"].sum()) == B
+    w = out["w"].to_numpy(np.int64)
+    W = int(w.sum())
+    base = (np.int64(B) * w) // W
+    got = out["fetch_budget"].to_numpy(np.int64)
+    assert ((got == base) | (got == base + 1)).all()
+
+
 def test_snapshot_delta_text_equality_twin(ray_session):
     """Independent pandas twin comparing the TEXTS directly (no md5):
     validates that the hash-compare delta equals the text-compare delta
