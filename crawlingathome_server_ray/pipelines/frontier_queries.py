@@ -378,6 +378,13 @@ def q_host_change_rate(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     change_rate) where change_rate = changed / (changed + unchanged)
     over the urls that persist in both snapshots (0.0 when none do).
 
+    The per-HOST result (bounded by #hosts) is materialized once per
+    (snapshot A, snapshot B) fingerprint pair and cached per process —
+    ``q_crawl_budget_alloc`` consumes the same aggregate, and at
+    production scale this table would be staged parquet derived once per
+    recrawl round (the ``_SLIM_CACHE`` / ``_GRAPH_CACHE`` precedent);
+    regenerating either snapshot in place invalidates it (tested).
+
     Reference analog: none — the reference crawls each shard exactly once
     (models.py:31-32); this is the continuous-crawl extension."""
     import os
@@ -392,6 +399,11 @@ def q_host_change_rate(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     p2 = ensure_snapshot2(sf_dir)
     p1 = os.path.join(frontier_dir(sf_dir), "pages")
+    key = (sf_dir, core.tree_fingerprint(p1), core.tree_fingerprint(p2))
+    if key in _RATES_CACHE:
+        return _RATES_CACHE[key]
+    for k in [k for k in _RATES_CACHE if k[0] == sf_dir]:
+        del _RATES_CACHE[k]   # drop the stale generation, keep other sfs
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     n_buckets = max(64, cpus * 8)
@@ -467,8 +479,15 @@ def q_host_change_rate(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         per["change_rate"] = rate
         return per
 
-    return (core.coalesce_slim(a.union(b)).groupby("bucket")
-            .map_groups(fold, batch_format="pandas"))
+    out = (core.coalesce_slim(a.union(b)).groupby("bucket")
+           .map_groups(fold, batch_format="pandas")).materialize()
+    _RATES_CACHE[key] = out
+    return out
+
+
+# per-process cache of the per-host change aggregate, keyed by the two
+# snapshots' tree fingerprints (see q_host_change_rate docstring)
+_RATES_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def sql_host_change_rate(pages_path: str, pages2_path: str) -> str:

@@ -169,3 +169,10 @@ def test_dataset_caches_invalidate_on_fixture_change(ray_session):
     g2 = lq.q_host_link_graph(SF)
     assert g2 is not g1
     assert g2.count() == g1.count()
+
+    r1 = fq.q_host_change_rate(SF)
+    assert fq.q_host_change_rate(SF) is r1            # warm hit
+    os.utime(f, ns=(time.time_ns(), time.time_ns()))  # touch snapshot A
+    r2 = fq.q_host_change_rate(SF)
+    assert r2 is not r1
+    assert r2.count() == r1.count()
