@@ -66,6 +66,8 @@ _FRONTIER_QUERIES = {
     "snapshot_delta": _fq.q_snapshot_delta,
     "host_change_rate": _fq.q_host_change_rate,
     "crawl_budget_alloc": _fq.q_crawl_budget_alloc,
+    "crawl_trap_score": _fq.q_crawl_trap_score,
+    "mirror_hosts": _fq.q_mirror_hosts,
 }
 
 
@@ -113,6 +115,9 @@ def oracle_sql() -> dict[str, str]:
         pages_path(_SF_ORACLE), _SNAP2_PATH)
     sqls["crawl_budget_alloc"] = _fq.sql_crawl_budget_alloc(
         pages_path(_SF_ORACLE), _SNAP2_PATH)
+    sqls["crawl_trap_score"] = _fq.sql_crawl_trap_score(
+        pages_path(_SF_ORACLE))
+    sqls["mirror_hosts"] = _fq.sql_mirror_hosts(pages_path(_SF_ORACLE))
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     import os as _os
     sqls.update(link_oracle_sql(

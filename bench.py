@@ -176,6 +176,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(fq.q_crawl_budget_alloc(sf_dir)))
         timed("lang_mix_sample",
               lambda: consume(cu.q_lang_mix_sample(sf_dir)))
+        # round 5: crawl-hygiene family
+        timed("crawl_trap_score",
+              lambda: consume(fq.q_crawl_trap_score(sf_dir)))
+        timed("mirror_hosts",
+              lambda: consume(fq.q_mirror_hosts(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

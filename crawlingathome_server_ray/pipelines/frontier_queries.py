@@ -637,3 +637,290 @@ def q_url_pattern_mine(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
                                                 batch_format="pyarrow",
                                                 batch_size=cfg.batch_size))
             .groupby("bucket").map_groups(final, batch_format="pandas"))
+
+
+# --- crawl-trap detection (X44) -------------------------------------------
+
+TRAP_RATIO = 50.0       # distinct-urls per distinct-template to flag a host
+TRAP_MIN_URLS = 100     # ignore hosts too small for the ratio to mean much
+
+_HOST_RE = r"^[^:/?#]+://([^/?#]*).*$"
+
+
+def _raw_host(urls: pa.Array):
+    """Lowercased authority with any :port stripped, from the RAW url —
+    the same rule (and the same regex, verbatim) as the
+    ``q_host_change_rate`` oracle pair."""
+    import pyarrow.compute as pc
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pc.replace_substring_regex(
+        pc.utf8_lower(pc.replace_substring_regex(
+            urls, pattern=_HOST_RE, replacement=r"\1")),
+        pattern=":[0-9]*$", replacement="")
+
+
+def trap_score_from_pages(pages_path: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG,
+                          ratio: float = TRAP_RATIO,
+                          min_urls: int = TRAP_MIN_URLS,
+                          n_buckets: int = 64):
+    """Crawl-trap detection over a pages parquet tree: per host, the ratio
+    of distinct URLs to distinct URL TEMPLATES (digit runs collapsed to
+    ``N``). A host whose URL space explodes while its template space stays
+    tiny is the classic spider-trap signature — calendars, session ids,
+    pagination counters (public basis: Heydon & Najork, "Mercator: a
+    scalable, extensible web crawler", WWW 1999 §4.2 traps; the
+    digit-collapse template is the standard URL-normalization heuristic).
+
+    Shape: per-batch local distinct (host, url-hash, template-hash) — the
+    template is a pure function of the url, so distinct urls carry their
+    template along — then ONE shuffle keyed by hash-bucket(host) (hosts
+    never span buckets ⇒ exact) and a per-bucket pandas nunique. The
+    shuffle carries three int64s per distinct url, never url strings.
+    Distinct counts use the 63-bit md5 prefix (``md5_hash64``), exactly
+    the ``q_snapshot_delta`` precedent: equal to DuckDB's
+    count(DISTINCT string) up to 2^-63 truncation collisions.
+
+    Output: (host, n_urls, n_templates, urls_per_template, is_trap).
+
+    Reference analog: none — the reference dispatches pre-sharded WAT
+    chunks (models.py:20-24) and never sees a live URL frontier; this is
+    the frontier-hygiene operator a real crawler runs continuously."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..functions.canonicalize import md5_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        urls = b.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        host = _raw_host(urls)
+        tmpl = pc.replace_substring_regex(urls, pattern="[0-9]+",
+                                          replacement="N")
+        uh = (md5_hash64(urls) >> np.uint64(1)).astype(np.int64)
+        th = (md5_hash64(tmpl) >> np.uint64(1)).astype(np.int64)
+        t = (pa.table({"host": host,
+                       "uh": pa.array(uh, pa.int64()),
+                       "th": pa.array(th, pa.int64())})
+             .group_by(["host", "uh", "th"]).aggregate([]))  # local distinct
+        hosts = t.column("host").to_pandas().to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(hosts) % n_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", sort=False).agg(
+            n_urls=("uh", "nunique"), n_templates=("th", "nunique"))
+        nu = agg["n_urls"].to_numpy(np.int64)
+        nt = agg["n_templates"].to_numpy(np.int64)
+        upt = nu.astype(np.float64) / nt
+        return pd.DataFrame({
+            "host": agg.index.to_numpy(dtype=object),
+            "n_urls": nu, "n_templates": nt, "urls_per_template": upt,
+            "is_trap": (nu >= min_urls) & (upt >= ratio)})
+
+    ds = ray.data.read_parquet(pages_path, columns=["url"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return (core.coalesce_slim(ds).groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def q_crawl_trap_score(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    import os
+
+    from ..sources.synth import ensure_frontier, frontier_dir
+    ensure_frontier(sf_dir)
+    return trap_score_from_pages(os.path.join(frontier_dir(sf_dir), "pages"),
+                                 cfg)
+
+
+def sql_crawl_trap_score(pages_path: str, ratio: float = TRAP_RATIO,
+                         min_urls: int = TRAP_MIN_URLS) -> str:
+    """DuckDB oracle: the same host / digit-collapse template rules over
+    the raw url, with count(DISTINCT …) on the strings themselves."""
+    return f"""
+WITH t AS (SELECT regexp_replace(
+                    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+                    ':[0-9]*$', '') AS host,
+                  url,
+                  regexp_replace(url, '[0-9]+', 'N', 'g') AS tmpl
+           FROM read_parquet('{pages_path}/*.parquet')),
+     g AS (SELECT host, count(DISTINCT url) AS n_urls,
+                  count(DISTINCT tmpl) AS n_templates
+           FROM t GROUP BY host)
+SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_templates AS BIGINT) AS n_templates,
+       CAST(n_urls AS DOUBLE) / n_templates AS urls_per_template,
+       (n_urls >= {min_urls}
+        AND CAST(n_urls AS DOUBLE) / n_templates >= {ratio}) AS is_trap
+FROM g"""
+
+
+# --- mirror-host detection (X45) ------------------------------------------
+
+MIRROR_HOST_CAP = 16     # content shared by more hosts than this is
+                         # boilerplate, not mirroring — skip it (both sides)
+MIRROR_MIN_SHARED = 1    # pairs must share at least this many documents
+
+
+def mirror_hosts_from_pages(pages_path: str,
+                            cfg: PipelineConfig = DEFAULT_CONFIG,
+                            cap: int = MIRROR_HOST_CAP,
+                            min_shared: int = MIRROR_MIN_SHARED,
+                            n_buckets: int = 64):
+    """Mirror-host detection: pairs of hosts serving identical content,
+    scored by the Jaccard resemblance of their distinct content-hash sets
+    (public basis: Bharat & Broder, "Mirror, mirror on the web", WWW 1999
+    — shared-fingerprint host pairing with a frequency cap on
+    overly-common fingerprints).
+
+    Shape: per-batch local distinct (host, 63-bit content hash) → ONE
+    shuffle keyed by hash-bucket(CONTENT hash) (a hash never spans
+    buckets ⇒ the per-hash host set is complete in its bucket). Each
+    bucket group emits two kinds of slim partial rows in one schema:
+    per-host distinct-hash counts (summable across buckets because
+    (host, hash) is globally distinct and hashes don't span buckets) and
+    per-pair shared counts for every hash held by 2..cap hosts. Pair
+    emission iterates only the MIRRORED hashes — a vanishing fraction of
+    the corpus by construction, each bounded by cap·(cap−1)/2 — the hot
+    path (distinct + counts) stays vectorized. Partials then fold: host
+    totals are bounded by #hosts (driver combine, the A4 leaderboard
+    precedent), and pair totals take the counted threshold switch —
+    driver fold below 10^6 distinct pairs, a second bucketed shuffle
+    above (the X2/X27 discipline). Content identity is the 63-bit md5
+    prefix, the ``q_snapshot_delta`` precedent (oracle compares full
+    md5; verdicts agree up to 2^-63 truncation collisions).
+
+    Output: (host_a, host_b, shared, n_a, n_b, resemblance) with
+    host_a < host_b, resemblance = shared / (n_a + n_b − shared).
+
+    Reference analog: none — the reference's frontier is pre-deduped WAT
+    shard ids; this is the crawl-hygiene operator that collapses mirror
+    farms before they eat fetch budget."""
+    from itertools import combinations
+
+    import numpy as np
+    import ray.data
+
+    from ..functions.canonicalize import md5_hash64
+
+    def partial(b: pa.Table) -> pa.Table:
+        urls = b.column("url")
+        host = _raw_host(urls)
+        h = (md5_hash64(b.column("text")) >> np.uint64(1)).astype(np.int64)
+        t = (pa.table({"host": host, "h": pa.array(h, pa.int64())})
+             .group_by(["host", "h"]).aggregate([]))       # local distinct
+        bucket = (t.column("h").to_numpy() % n_buckets).astype(np.int32)
+        return t.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gd = g.drop_duplicates(["host", "h"])               # global distinct
+        hosts = gd.groupby("host", sort=False).size()
+        out_a = [pd.DataFrame({"host_a": hosts.index.to_numpy(dtype=object),
+                               "host_b": "",
+                               "n": hosts.to_numpy(np.int64)})]
+        sizes = gd.groupby("h", sort=False)["host"].transform("size")
+        elig = gd[(sizes >= 2) & (sizes <= cap)]
+        if len(elig):
+            pairs: dict[tuple[str, str], int] = {}
+            for _, grp in elig.groupby("h", sort=False):
+                for a, b in combinations(sorted(grp["host"]), 2):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            if pairs:
+                ka = np.array([p[0] for p in pairs], dtype=object)
+                kb = np.array([p[1] for p in pairs], dtype=object)
+                out_a.append(pd.DataFrame({
+                    "host_a": ka, "host_b": kb,
+                    "n": np.fromiter(pairs.values(), np.int64, len(pairs))}))
+        return pd.concat(out_a, ignore_index=True)
+
+    ds = ray.data.read_parquet(pages_path, columns=["url", "text"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+    folded = (core.coalesce_slim(ds).groupby("bucket")
+              .map_groups(fold, batch_format="pandas")).materialize()
+
+    totals = (folded.filter(expr="host_b == ''").select_columns(
+        ["host_a", "n"]).to_pandas()
+        .groupby("host_a", sort=True)["n"].sum())      # bounded by #hosts
+    t_hosts = totals.index.to_numpy(dtype=object)
+    t_counts = totals.to_numpy(np.int64)
+
+    pair_ds = folded.filter(expr="host_b != ''")
+    n_pairs = pair_ds.count()
+    if n_pairs == 0:
+        return pd.DataFrame({"host_a": pd.Series(dtype=object),
+                             "host_b": pd.Series(dtype=object),
+                             "shared": pd.Series(dtype="int64"),
+                             "n_a": pd.Series(dtype="int64"),
+                             "n_b": pd.Series(dtype="int64"),
+                             "resemblance": pd.Series(dtype="float64")})
+
+    def finish(p: pd.DataFrame) -> pd.DataFrame:
+        shared = p["n"].to_numpy(np.int64)
+        na = t_counts[np.searchsorted(t_hosts, p["host_a"].to_numpy(object))]
+        nb = t_counts[np.searchsorted(t_hosts, p["host_b"].to_numpy(object))]
+        res = shared.astype(np.float64) / (na + nb - shared)
+        out = pd.DataFrame({"host_a": p["host_a"].to_numpy(object),
+                            "host_b": p["host_b"].to_numpy(object),
+                            "shared": shared, "n_a": na, "n_b": nb,
+                            "resemblance": res})
+        return out[out["shared"] >= min_shared].reset_index(drop=True)
+
+    if n_pairs < 1 << 20:                       # counted threshold switch
+        p = (pair_ds.to_pandas()
+             .groupby(["host_a", "host_b"], sort=False, as_index=False)
+             ["n"].sum())
+        return finish(p)
+    # distributed branch: second bucketed fold keyed by the pair
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        k = (pd.util.hash_array(
+            b.column("host_a").to_pandas().to_numpy(dtype=object)) * 31
+            + pd.util.hash_array(
+                b.column("host_b").to_pandas().to_numpy(dtype=object)))
+        return b.set_column(b.schema.get_field_index("bucket"), "bucket",
+                            pa.array((k % n_buckets).astype(np.int32)))
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return finish(g.groupby(["host_a", "host_b"], sort=False,
+                                as_index=False)["n"].sum())
+
+    return (pair_ds.map_batches(pair_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(pair_fold, batch_format="pandas"))
+
+
+def q_mirror_hosts(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    import os
+
+    from ..sources.synth import ensure_frontier, frontier_dir
+    ensure_frontier(sf_dir)
+    return mirror_hosts_from_pages(
+        os.path.join(frontier_dir(sf_dir), "pages"), cfg)
+
+
+def sql_mirror_hosts(pages_path: str, cap: int = MIRROR_HOST_CAP,
+                     min_shared: int = MIRROR_MIN_SHARED) -> str:
+    """DuckDB oracle: distinct (host, md5) self-join on the hash with the
+    same 2..cap host-frequency window, host pair ordered lexicographically,
+    Jaccard resemblance over the per-host distinct counts."""
+    return f"""
+WITH d AS (SELECT DISTINCT regexp_replace(
+                    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+                    ':[0-9]*$', '') AS host,
+                  md5(text) AS h
+           FROM read_parquet('{pages_path}/*.parquet')),
+     hc AS (SELECT host, count(*) AS n FROM d GROUP BY host),
+     elig AS (SELECT h FROM d GROUP BY h
+              HAVING count(*) BETWEEN 2 AND {cap}),
+     p AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+           FROM d a JOIN d b ON a.h = b.h AND a.host < b.host
+           WHERE a.h IN (SELECT h FROM elig)
+           GROUP BY 1, 2)
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       CAST(ha.n AS BIGINT) AS n_a, CAST(hb.n AS BIGINT) AS n_b,
+       CAST(shared AS DOUBLE) / (ha.n + hb.n - shared) AS resemblance
+FROM p JOIN hc ha ON ha.host = p.host_a
+       JOIN hc hb ON hb.host = p.host_b
+WHERE shared >= {min_shared}"""

@@ -176,3 +176,76 @@ def test_dataset_caches_invalidate_on_fixture_change(ray_session):
     r2 = fq.q_host_change_rate(SF)
     assert r2 is not r1
     assert r2.count() == r1.count()
+
+
+def test_crawl_trap_score_matches_oracle(ray_session):
+    sql = fq.sql_crawl_trap_score(pages_path(SF))
+    assert_frames_match(fq.q_crawl_trap_score(SF), duckdb.sql(sql).df(),
+                        "crawl_trap_score")
+
+
+def test_mirror_hosts_matches_oracle(ray_session):
+    # sf0.001 has zero cross-host duplicate content — the planted test
+    # below covers the non-empty path; sf0.01 (2 pairs) runs in driver_sim
+    sql = fq.sql_mirror_hosts(pages_path(SF))
+    assert_frames_match(fq.q_mirror_hosts(SF), duckdb.sql(sql).df(),
+                        "mirror_hosts")
+
+
+def _write_pages(tmpdir, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({"url": [r[0] for r in rows],
+                  "text": [r[1] for r in rows]})
+    pq.write_table(t, f"{tmpdir}/part-0.parquet")
+    return str(tmpdir)
+
+
+def test_mirror_hosts_planted(ray_session, tmp_path):
+    """Engineered mirror: m1/m2 share 5 of 8 docs; boilerplate text on 20
+    hosts is excluded by the frequency cap; a singleton pair shares 1."""
+    rows = []
+    for i in range(8):
+        rows.append((f"https://m1.example.org/p{i}", f"mirrored doc {i}"
+                     if i < 5 else f"m1 only {i}"))
+        rows.append((f"https://m2.example.org/p{i}", f"mirrored doc {i}"
+                     if i < 5 else f"m2 only {i}"))
+    for j in range(20):                      # boilerplate above the cap
+        rows.append((f"https://b{j:02d}.example.org/tos", "terms of service"))
+    rows.append(("https://s1.example.org/x", "single shared"))
+    rows.append(("https://s2.example.org/x", "single shared"))
+    p = _write_pages(tmp_path, rows)
+
+    out = fq.mirror_hosts_from_pages(p)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    df = df.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    got = {(r.host_a, r.host_b): (r.shared, r.n_a, r.n_b)
+           for r in df.itertuples()}
+    assert got[("m1.example.org", "m2.example.org")] == (5, 8, 8)
+    assert got[("s1.example.org", "s2.example.org")] == (1, 1, 1)
+    assert not any("b0" in a or "b1" in a for a, _ in got)   # cap applied
+    # resemblance = 5 / (8 + 8 - 5)
+    m = df[(df.host_a == "m1.example.org")]["resemblance"].iloc[0]
+    assert abs(m - 5 / 11) < 1e-12
+    # and the DuckDB oracle agrees on the planted tree
+    sql = fq.sql_mirror_hosts(p)
+    assert_frames_match(df, duckdb.sql(sql).df(), "mirror_hosts_planted")
+
+
+def test_crawl_trap_planted(ray_session, tmp_path):
+    """A calendar-style trap host (200 urls, 1 template) is flagged; a
+    diverse host of the same size is not."""
+    rows = [(f"https://trap.example.org/cal?y=2026&m={i%12}&d={i}", f"t{i}")
+            for i in range(200)]
+    rows += [(f"https://ok.example.org/{chr(97 + i % 26)}{chr(97 + (i // 26) % 26)}/page{i}",
+              f"o{i}") for i in range(200)]
+    p = _write_pages(tmp_path, rows)
+    out = fq.trap_score_from_pages(p)
+    df = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+        .set_index("host")
+    assert bool(df.loc["trap.example.org", "is_trap"])
+    assert df.loc["trap.example.org", "n_templates"] == 1
+    assert not bool(df.loc["ok.example.org", "is_trap"])
+    sql = fq.sql_crawl_trap_score(p)
+    assert_frames_match(df.reset_index(), duckdb.sql(sql).df(),
+                        "crawl_trap_planted")
