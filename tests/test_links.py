@@ -247,3 +247,73 @@ def test_pagerank_dense_twin(ray_session):
     # the Zipf-head host outranks the median host decisively
     r0 = got.loc[got["host"] == "h00000.crawl-test.org", "rank"].iloc[0]
     assert r0 > 5 * got["rank"].median()
+
+
+def _dense_lpa(edges, hosts, n_iter=10):
+    """Spec-literal dense twin of label_prop_fit: symmetric vote matrix,
+    synchronous adoption, max-weight then min-label, convergence break."""
+    n = len(hosts)
+    idx = {h: i for i, h in enumerate(hosts)}
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        si, di = idx[s], idx[d]
+        if si != di:
+            W[si, di] += w
+            W[di, si] += w
+    labels = np.arange(n)
+    for _ in range(n_iter):
+        new = labels.copy()
+        for i in range(n):
+            nb = np.nonzero(W[i])[0]
+            if not len(nb):
+                continue
+            votes = {}
+            for j in nb:
+                votes[labels[j]] = votes.get(labels[j], 0.0) + W[i, j]
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[i] = best[0]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def test_label_prop_dense_twin(ray_session):
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        label_prop_fit, q_host_link_graph)
+    got = label_prop_fit(SF)
+    hg = q_host_link_graph(SF).to_pandas()
+    edges = list(zip(hg["src_host"], hg["dst_host"],
+                     hg["n_links"].astype(float)))
+    hosts = got["host"].tolist()
+    want = _dense_lpa(edges, hosts)
+    assert got["community"].tolist() == [hosts[i] for i in want]
+    # labels are real community ids: every community label is a member
+    assert set(got["community"]) <= set(got["host"])
+
+
+def test_label_prop_planted_cliques():
+    """Two tight triangles bridged by a weak edge resolve to exactly two
+    communities under the pure adoption step."""
+    from crawlingathome_server_ray.pipelines.link_queries import _lpa_adopt
+    n = 6
+    und = [(0, 1, 2.0), (0, 2, 2.0), (1, 2, 2.0),
+           (3, 4, 2.0), (3, 5, 2.0), (4, 5, 2.0), (2, 3, 0.5)]
+
+    def partials(labels):
+        votes = {}
+        for a, b, w in und:
+            votes[(a, labels[b])] = votes.get((a, labels[b]), 0.0) + w
+            votes[(b, labels[a])] = votes.get((b, labels[a]), 0.0) + w
+        keys = np.array([node * n + lab for node, lab in votes], np.int64)
+        w = np.fromiter(votes.values(), np.float64, len(votes))
+        return keys, w
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(10):
+        new = _lpa_adopt(*partials(labels), labels, n)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    assert len(set(labels[:3])) == 1 and len(set(labels[3:])) == 1
+    assert labels[0] != labels[3]
