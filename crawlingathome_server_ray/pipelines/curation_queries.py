@@ -753,7 +753,128 @@ sc AS (
 SELECT doc_id, n_toks FROM sc ORDER BY w DESC, doc_id LIMIT {DSIR_K}"""
 
 
+# ------------------------------------------------------- inverted index
+PROBE_TERMS = ("join", "window", "spark", "dup")
+INVIDX_BUCKETS = 32
+
+
+def inverted_index_build(sf_dir: str, n_buckets: int = INVIDX_BUCKETS,
+                         index_root: str | None = None) -> str:
+    """Build (idempotently) a distributed inverted index over the
+    documents table: (term, doc_id, tf) posting rows, hive-partitioned
+    by ``bucket = hash(term) % n_buckets`` so a term lookup reads ONLY
+    its bucket's parquet files — the partition-pruned-read layout the
+    IVF index (functions/ann.py ivf_build) established, applied to text
+    retrieval (the at-scale serving path for the X16 BM25 scorer: score
+    against postings for the query's terms instead of rescanning the
+    corpus). Tokenization is the corpus-wide whitespace rule
+    (:func:`_tokens_doc_idx`), identical to every other curation oracle.
+
+    Build is one streaming pass: per-batch (term, doc_id)→tf partials
+    are exact because a document is one row and never spans batches; no
+    shuffle at all — the hive write IS the term partitioning. Postings
+    within a fragment are sorted by (term, doc_id). Crash-safe .tmp +
+    atomic rename, fingerprinted cache key (ivf_build precedent).
+
+    Reference analog: none — the reference serves shard metadata, not
+    content; this is the retrieval index a curated corpus ships with."""
+    import os
+    import shutil
+
+    from ..functions.ann import _dataset_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_root = index_root or (
+        f"/tmp/graft_invidx/{tag}_b{n_buckets}_{_dataset_fingerprint(src)}")
+    marker = os.path.join(index_root, "_BUILT")
+    if os.path.exists(marker):
+        return index_root
+    shutil.rmtree(index_root, ignore_errors=True)
+    tmp_root = index_root + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def postings(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        ids = np.asarray(b.column("doc_id"), np.int64)[doc_of]
+        per = (pd.DataFrame({"term": toks, "doc_id": ids})
+               .groupby(["term", "doc_id"], sort=True).size()
+               .reset_index(name="tf"))
+        terms = per["term"].to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(terms) % n_buckets).astype(np.int32)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(per["doc_id"].to_numpy(np.int64)),
+                         "tf": pa.array(per["tf"].to_numpy(np.int64)),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    (_docs(sf_dir, ["doc_id", "text"])
+     .map_batches(postings, batch_format="pyarrow", batch_size=BATCH)
+     .write_parquet(tmp_root, partition_cols=["bucket"]))
+    with open(os.path.join(tmp_root, "_BUILT"), "w") as f:
+        f.write("ok")
+    os.rename(tmp_root, index_root)  # atomic publish
+    return index_root
+
+
+def term_postings(sf_dir: str, terms=PROBE_TERMS,
+                  n_buckets: int = INVIDX_BUCKETS,
+                  stats: dict | None = None):
+    """Posting lookup against the bucketed inverted index: compute the
+    probe terms' buckets, read ONLY those ``bucket=K`` directories, and
+    filter to the exact terms. Returns (term, doc_id, tf). Pass
+    ``stats`` to capture how many of the index's buckets were read (the
+    pruned-read evidence, tested)."""
+    import os
+
+    root = inverted_index_build(sf_dir, n_buckets)
+    terms_arr = np.asarray(sorted(set(terms)), dtype=object)
+    # NB: array mod, not per-scalar — np.uint64 scalar % python int
+    # promotes through float64 and corrupts the bucket id
+    buckets = sorted(set(
+        (pd.util.hash_array(terms_arr) % np.uint64(n_buckets))
+        .astype(np.int64).tolist()))
+    import glob as _glob
+    paths = [f for k in buckets
+             for f in sorted(_glob.glob(
+                 os.path.join(root, f"bucket={k}", "*.parquet")))]
+    if stats is not None:
+        stats["buckets_read"] = len(buckets)
+        stats["buckets_total"] = sum(
+            1 for d in os.listdir(root) if d.startswith("bucket="))
+    if not paths:
+        return pd.DataFrame({"term": pd.Series(dtype=object),
+                             "doc_id": pd.Series(dtype="int64"),
+                             "tf": pd.Series(dtype="int64")})
+    term_set_ref = ray.put(terms_arr)
+
+    def probe(b: pa.Table) -> pa.Table:
+        t = b.column("term")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        want = ray.get(term_set_ref)
+        pos = np.searchsorted(want, np.asarray(t, dtype=object))
+        pos = np.minimum(pos, len(want) - 1)
+        keep = want[pos] == np.asarray(t, dtype=object)
+        return b.filter(pa.array(keep)).select(["term", "doc_id", "tf"])
+
+    return ray.data.read_parquet(paths).map_batches(
+        probe, batch_format="pyarrow", batch_size=65536)
+
+
+def q_term_postings(sf_dir: str):
+    return term_postings(sf_dir)
+
+
+def _sql_term_postings(terms=PROBE_TERMS) -> str:
+    lst = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH t AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM t WHERE term IN ({lst}) GROUP BY term, doc_id"""
+
+
 CURATION_QUERIES = {
+    "term_postings": q_term_postings,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -766,6 +887,7 @@ CURATION_QUERIES = {
 }
 
 CURATION_SQL = {
+    "term_postings": _sql_term_postings(),
     "tfidf_top_terms": SQL_TFIDF,
     "bm25_topk": _sql_bm25(),
     "doc_repetition": SQL_REPETITION,

@@ -191,3 +191,32 @@ def test_lang_mix_sample_balances_and_keeps_rarest(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_inverted_index_pruned_read_and_fingerprint(ray_session, tmp_path):
+    """The posting lookup reads only the probe terms' bucket partitions,
+    and regenerating the source table in place invalidates the cached
+    index (new fingerprinted root)."""
+    import os
+    import shutil
+    import time
+
+    stats = {}
+    out = to_pandas(cq.term_postings(SF, stats=stats))
+    assert stats["buckets_read"] < stats["buckets_total"]
+    assert set(out["term"]) <= set(cq.PROBE_TERMS)
+
+    # fingerprint: a touched source yields a different index root
+    src_dir = tmp_path / "sfcopy"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "documents.parquet")
+    r1 = cq.inverted_index_build(str(src_dir))
+    os.utime(src_dir / "documents.parquet",
+             ns=(time.time_ns(), time.time_ns()))
+    r2 = cq.inverted_index_build(str(src_dir))
+    assert r1 != r2
+    # identical source bytes => identical postings either way
+    import duckdb
+    a = duckdb.sql(f"SELECT term, doc_id, tf FROM read_parquet('{r1}/bucket=*/*.parquet') ORDER BY 1,2").df()
+    b = duckdb.sql(f"SELECT term, doc_id, tf FROM read_parquet('{r2}/bucket=*/*.parquet') ORDER BY 1,2").df()
+    assert a.equals(b)
