@@ -68,6 +68,7 @@ _FRONTIER_QUERIES = {
     "crawl_budget_alloc": _fq.q_crawl_budget_alloc,
     "crawl_trap_score": _fq.q_crawl_trap_score,
     "mirror_hosts": _fq.q_mirror_hosts,
+    "snapshot_compact": _fq.q_snapshot_compact,
 }
 
 
@@ -118,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
     sqls["crawl_trap_score"] = _fq.sql_crawl_trap_score(
         pages_path(_SF_ORACLE))
     sqls["mirror_hosts"] = _fq.sql_mirror_hosts(pages_path(_SF_ORACLE))
+    sqls["snapshot_compact"] = _fq.sql_snapshot_compact(
+        pages_path(_SF_ORACLE), _SNAP2_PATH)
     sqls["url_sample"] = sql_url_sample(pages_path(_SF_ORACLE))
     import os as _os
     sqls.update(link_oracle_sql(

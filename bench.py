@@ -185,6 +185,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(lq.q_host_communities(sf_dir)))
         timed("term_postings",
               lambda: consume(cu.q_term_postings(sf_dir)))
+        timed("snapshot_compact",
+              lambda: consume(fq.q_snapshot_compact(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

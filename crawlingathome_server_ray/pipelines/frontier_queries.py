@@ -924,3 +924,110 @@ SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
 FROM p JOIN hc ha ON ha.host = p.host_a
        JOIN hc hb ON hb.host = p.host_b
 WHERE shared >= {min_shared}"""
+
+
+# --- incremental snapshot compaction (X48) ---------------------------------
+
+def q_snapshot_compact(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       n_buckets: int | None = None):
+    import os
+
+    from ..sources.synth import ensure_snapshot2, frontier_dir
+    p2 = ensure_snapshot2(sf_dir)
+    p1 = os.path.join(frontier_dir(sf_dir), "pages")
+    return snapshot_compact_from(p1, p2, cfg, n_buckets)
+
+
+def snapshot_compact_from(p1: str, p2: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG,
+                          n_buckets: int | None = None):
+    """Incremental-crawl snapshot compaction (upsert): merge crawl
+    snapshots A and B into one latest-version-per-url view — the
+    compaction pass a continuous crawler runs so downstream consumers
+    read ONE current corpus instead of every historical snapshot
+    (public basis: the LSM-style merge of log-structured storage applied
+    to crawl snapshots; the reference crawls each shard once,
+    models.py:31-32, so it never needs this).
+
+    Winner per url = newest ``warc_ts``; equal-timestamp versions break
+    ties by content hash descending, then side 'b' over 'a' — fully
+    deterministic. Same ONE-shuffle discipline as ``q_snapshot_delta``:
+    each side slims per batch to (url, ts int64, 63-bit content hash,
+    side) — never html/text — keyed by hash-bucket(url) (a url never
+    spans buckets ⇒ exact), and the per-bucket fold is a vectorized
+    lexicographic sort + first-row-per-url. The 63-bit hash tie-break
+    matches the oracle's md5-hex-desc ordering (hex order ≡ big-endian
+    digest order) up to top-63-bit ties, the established
+    ``q_snapshot_delta`` truncation precedent.
+
+    Output: (url, warc_ts, side). At production scale the same fold
+    would also carry the winning row's source file+offset so the
+    compacted corpus can be re-materialized by a pruned read."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data
+
+    from ..functions.canonicalize import md5_hash64
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nb = n_buckets or max(64, cpus * 8)
+
+    def slimmed(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            h = (md5_hash64(b.column("text")) >> np.uint64(1)) \
+                .astype(np.int64)
+            urls = b.column("url")
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            bucket = (pd.util.hash_array(
+                urls.to_pandas().to_numpy(dtype=object)) % nb
+            ).astype(np.int32)
+            return pa.table({
+                "url": urls,
+                "ts": b.column("warc_ts").cast(pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "side": pa.array(np.full(b.num_rows, side), pa.string()),
+                "bucket": pa.array(bucket, pa.int32())})
+        return fn
+
+    a = ray.data.read_parquet(p1, columns=["url", "warc_ts", "text"]) \
+        .map_batches(slimmed("a"), batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+    b = ray.data.read_parquet(p2, columns=["url", "warc_ts", "text"]) \
+        .map_batches(slimmed("b"), batch_format="pyarrow",
+                     batch_size=cfg.batch_size)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g.sort_values(["url", "ts", "h", "side"],
+                           ascending=[True, False, False, False],
+                           kind="mergesort")
+             .drop_duplicates("url", keep="first"))
+        return pd.DataFrame({
+            "url": w["url"].to_numpy(dtype=object),
+            "warc_ts": pd.to_datetime(w["ts"].to_numpy(np.int64),
+                                      unit="us"),
+            "side": w["side"].to_numpy(dtype=object)})
+
+    return (core.coalesce_slim(a.union(b)).groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
+
+
+def sql_snapshot_compact(pages_path: str, pages2_path: str) -> str:
+    """DuckDB oracle: window rank per url over (warc_ts DESC, md5 DESC,
+    side DESC) across the union of both snapshots."""
+    return f"""
+WITH u AS (
+  SELECT url, warc_ts, md5(text) AS h, 'a' AS side
+  FROM read_parquet('{pages_path}/*.parquet')
+  UNION ALL
+  SELECT url, warc_ts, md5(text) AS h, 'b' AS side
+  FROM read_parquet('{pages2_path}/*.parquet')),
+r AS (SELECT url, warc_ts, side,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, h DESC, side DESC)
+               AS rn
+      FROM u)
+SELECT url, warc_ts, side FROM r WHERE rn = 1"""

@@ -249,3 +249,59 @@ def test_crawl_trap_planted(ray_session, tmp_path):
     sql = fq.sql_crawl_trap_score(p)
     assert_frames_match(df.reset_index(), duckdb.sql(sql).df(),
                         "crawl_trap_planted")
+
+
+def test_snapshot_compact_matches_oracle(ray_session):
+    from crawlingathome_server_ray.sources.synth import ensure_snapshot2
+    p2 = ensure_snapshot2(SF)
+    sql = fq.sql_snapshot_compact(pages_path(SF), p2)
+    assert_frames_match(fq.q_snapshot_compact(SF), duckdb.sql(sql).df(),
+                        "snapshot_compact")
+
+
+def test_snapshot_compact_planted_tiebreaks(ray_session, tmp_path):
+    """Newest warc_ts wins; equal timestamps fall back to content-hash
+    desc then side 'b' — both checked against the DuckDB oracle on an
+    engineered pair of snapshots."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        t = pa.table({
+            "url": [r[0] for r in rows],
+            "warc_ts": pa.array([r[1] for r in rows],
+                                pa.timestamp("us")),
+            "text": [r[2] for r in rows]})
+        pq.write_table(t, d / "part-0.parquet")
+        return str(d)
+
+    t0, t1 = 1_000_000, 2_000_000
+    a = write("snapA", [
+        ("https://x.org/newer-in-a", t1, "a wins by time"),
+        ("https://x.org/tie-hash", t0, "candidate one"),
+        ("https://x.org/tie-side", t0, "same text"),
+        ("https://x.org/a-only", t0, "only in a"),
+    ])
+    b = write("snapB", [
+        ("https://x.org/newer-in-a", t0, "older b version"),
+        ("https://x.org/tie-hash", t0, "candidate two"),
+        ("https://x.org/tie-side", t0, "same text"),
+        ("https://x.org/b-only", t0, "only in b"),
+    ])
+    out = fq.snapshot_compact_from(a, b)
+    df = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+        .set_index("url")
+    assert df.loc["https://x.org/newer-in-a", "side"] == "a"
+    assert df.loc["https://x.org/a-only", "side"] == "a"
+    assert df.loc["https://x.org/b-only", "side"] == "b"
+    assert df.loc["https://x.org/tie-side", "side"] == "b"   # side tiebreak
+    import hashlib
+    h1 = hashlib.md5(b"candidate one").hexdigest()
+    h2 = hashlib.md5(b"candidate two").hexdigest()
+    want = "a" if h1 > h2 else "b"
+    assert df.loc["https://x.org/tie-hash", "side"] == want
+    sql = fq.sql_snapshot_compact(a, b)
+    assert_frames_match(df.reset_index(), duckdb.sql(sql).df(),
+                        "snapshot_compact_planted")
