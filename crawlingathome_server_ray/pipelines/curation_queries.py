@@ -873,6 +873,125 @@ SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM t WHERE term IN ({lst}) GROUP BY term, doc_id"""
 
 
+# -------------------------------------- hashed-logreg quality classifier
+CLF_BUCKETS = 1024
+CLF_ITERS = 30
+CLF_LR = 20.0
+CLF_TRAIN_FRAC = 0.5
+CLF_TARGET_LANG = "en"
+
+
+def q_doc_quality_classifier(sf_dir: str,
+                             n_buckets: int = CLF_BUCKETS,
+                             iters: int = CLF_ITERS,
+                             lr: float = CLF_LR,
+                             train_frac: float = CLF_TRAIN_FRAC,
+                             target_lang: str = CLF_TARGET_LANG,
+                             batch_size: int = BATCH):
+    """CCNet/GPT-3-style quality-classifier pipeline (SURVEY X49): train
+    a hashed-unigram logistic regression on a deterministic doc_id-hash
+    sample of the corpus (labels: ``lang == target_lang``), then score
+    every document in one streaming pass.
+
+    The training sample's slim feature rows are materialized ONCE and
+    iterated by synchronized full-batch GD with int64 fixed-point
+    gradient partials — trained weights and emitted logits are
+    bit-identical at any batch size or partitioning (twin-tested).
+    Rows-only for the driver (a trained-model score has no SQL twin).
+    See functions/classifier.py for the full scale discussion."""
+    from ..functions.classifier import (featurize_batch, score_batch,
+                                        train_quality_classifier,
+                                        train_sample_mask)
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def feats_sample(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        f = featurize_batch(b, n_buckets, target_lang)
+        return f.filter(pa.array(train_sample_mask(ids, train_frac)))
+
+    train_feats = ds.map_batches(feats_sample, batch_format="pyarrow",
+                                 batch_size=batch_size).materialize()
+    w = train_quality_classifier(train_feats, n_buckets=n_buckets,
+                                 iters=iters, lr=lr,
+                                 batch_size=batch_size)
+    wref = ray.put(w)
+
+    def score(b: pa.Table) -> pa.Table:
+        return score_batch(b, ray.get(wref), n_buckets, target_lang)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+# --------------------------------------- temperature-sampled language mix
+TEMP_ALPHA = 0.5
+
+
+def q_lang_temperature_sample(sf_dir: str, alpha: float = TEMP_ALPHA):
+    """Temperature-based multinomial language rebalancing (SURVEY X50):
+    the mC4 / XLM-R data-mix rule (Conneau et al. 2020 §3.1) — sample
+    language l with probability p_l ∝ (n_l / N)^alpha, which upweights
+    low-resource slices relative to their natural share. The realized
+    per-language accept rate against a fixed corpus is
+    r_l = min(1, S * p_l / n_l) with budget S chosen as the largest
+    value that needs no upsampling (S = min_l n_l / p_l), so the rarest
+    language is kept whole and every other slice is downsampled toward
+    the tempered mix — the α→1 limit keeps everything, the α→0 limit
+    is the uniform rebalance of ``lang_mix_sample``.
+
+    Same two-pass shape as ``q_lang_mix_sample``: one bounded
+    language-count aggregate, then a vectorized keep-mask pass over
+    (doc_id, lang) driven by the md5 uniform key — reproducible
+    row-for-row in SQL. Only the integer facts are emitted; the float
+    rate appears on both sides of a strict inequality computed with
+    the same double-precision formula."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=BATCH)
+              .groupby("lang").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())                       # bounded by #languages
+    langs = counts["lang"].to_numpy(dtype=object)
+    order = np.argsort(langs)
+    langs_sorted = langs[order]
+    n = counts["n"].to_numpy(np.float64)[order]
+    p = n ** alpha
+    p = p / p.sum()                               # tempered mix
+    budget = (n / p).min()                        # largest no-upsample S
+    rates = np.minimum(1.0, budget * p / n)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        lg = np.asarray(b.column("lang"), dtype=object)
+        r = rates[np.searchsorted(langs_sorted, lg)]
+        h = md5_hash64(np.char.mod("%d", ids))
+        u = (h >> np.uint64(4)).astype(np.float64) / np.float64(2 ** 60)
+        keep = u < r
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "lang": pa.array(lg[keep], pa.string())})
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_LANG_TEMP = f"""
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+p AS (SELECT lang, n, pow(n, {TEMP_ALPHA}) / sum(pow(n, {TEMP_ALPHA})) OVER ()
+        AS pl FROM c),
+b AS (SELECT min(n / pl) AS s FROM p),
+r AS (SELECT lang, least(1.0, s * pl / n) AS rate FROM p, b)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS UBIGINT) / 1152921504606846976.0 < rate"""
+
+
 CURATION_QUERIES = {
     "term_postings": q_term_postings,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -882,6 +1001,8 @@ CURATION_QUERIES = {
     "doc_repeated_ngrams": q_doc_repeated_ngrams,
     "doc_weighted_sample": q_doc_weighted_sample,
     "lang_mix_sample": q_lang_mix_sample,
+    "lang_temperature_sample": q_lang_temperature_sample,
+    "doc_quality_classifier": q_doc_quality_classifier,
     "doc_lm_score": q_doc_lm_score,
     "dsir_select": q_dsir_select,
 }
@@ -895,5 +1016,6 @@ CURATION_SQL = {
     "doc_repeated_ngrams": _sql_repeated_ngrams(),
     "doc_weighted_sample": SQL_WSAMPLE,
     "lang_mix_sample": SQL_LANG_MIX,
+    "lang_temperature_sample": SQL_LANG_TEMP,
     "dsir_select": SQL_DSIR,
 }

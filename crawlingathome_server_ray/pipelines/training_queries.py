@@ -397,13 +397,75 @@ def q_semantic_dedup(sf_dir: str, threshold: float = 0.95,
         flag, batch_format="pyarrow", batch_size=65536)
 
 
+# ------------------------------------------------ training-shard shuffle
+SHUF_SHARDS = 16
+SHUF_SALT = "shuf7:"
+
+
+def q_training_shard_shuffle(sf_dir: str, n_shards: int = SHUF_SHARDS):
+    """Deterministic global shuffle into training shards (SURVEY X51) —
+    the last step of every LM data pipeline: break source/crawl-order
+    correlations before the trainer streams the corpus sequentially
+    (GPT-3 §2.2 and The Pile both shuffle at shard granularity). Order
+    is the seeded 60-bit md5 key of the doc_id, so the permutation is a
+    pure function of the data: shard = key % n_shards, pos = rank of
+    (key, doc_id) within the shard.
+
+    This is the scale-honest layout for a 100-TB shuffle: ONE slim
+    (doc_id, key) shuffle — text never moves — into n_shards buckets
+    with a vectorized argsort rank per shard; no global prefix-sum, no
+    total order across shards (the trainer reads shards independently,
+    so cross-shard order is meaningless by construction). Writing the
+    actual payload is then a hive `shard=` partitioned write keyed by
+    this table. Driver never sees more than the result it returns."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        h = md5_hash64(np.char.add(SHUF_SALT, np.char.mod("%d", ids)))
+        key = (h >> np.uint64(4)).astype(np.int64)     # 60-bit, int64-safe
+        return pa.table({
+            "shard": pa.array(key % n_shards, pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64())})
+
+    def rank(g: pa.Table) -> pa.Table:
+        key = np.asarray(g.column("key"), np.int64)
+        ids = np.asarray(g.column("doc_id"), np.int64)
+        order = np.lexsort((ids, key))
+        return pa.table({
+            "shard": g.column("shard").slice(0, len(order)),
+            "pos": pa.array(np.arange(len(order), dtype=np.int64),
+                            pa.int64()),
+            "doc_id": pa.array(ids[order], pa.int64())})
+
+    return (coalesce_slim(ds.map_batches(keyed, batch_format="pyarrow",
+                                         batch_size=BATCH))
+            .groupby("shard").map_groups(rank, batch_format="pyarrow"))
+
+
+SQL_SHARD_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SHUF_SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS key
+  FROM documents)
+SELECT CAST(key % {SHUF_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY key % {SHUF_SHARDS}
+                               ORDER BY key, doc_id) - 1 AS BIGINT) AS pos,
+       doc_id
+FROM k"""
+
+
 TRAINING_QUERIES = {
     "seq_pack": q_seq_pack,
     "doc_line_dedup": q_doc_line_dedup,
     "semantic_dedup": q_semantic_dedup,  # rows-only (iterative k-means)
+    "training_shard_shuffle": q_training_shard_shuffle,
 }
 
 TRAINING_SQL = {
     "seq_pack": SQL_SEQ_PACK,
     "doc_line_dedup": SQL_LINE_DEDUP,
+    "training_shard_shuffle": SQL_SHARD_SHUFFLE,
 }

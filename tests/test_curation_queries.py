@@ -220,3 +220,92 @@ def test_inverted_index_pruned_read_and_fingerprint(ray_session, tmp_path):
     a = duckdb.sql(f"SELECT term, doc_id, tf FROM read_parquet('{r1}/bucket=*/*.parquet') ORDER BY 1,2").df()
     b = duckdb.sql(f"SELECT term, doc_id, tf FROM read_parquet('{r2}/bucket=*/*.parquet') ORDER BY 1,2").df()
     assert a.equals(b)
+
+
+def test_quality_classifier_twin_bit_exact(ray_session):
+    """Distributed classifier training == a single-process run of the
+    same per-batch kernels, BIT-exact, at two very different batch
+    sizes: int64 fixed-point gradient partials make aggregation
+    associative (grouping cannot perturb the sum), and logits are
+    per-segment independent reduceat sums."""
+    import pyarrow as pa
+    from crawlingathome_server_ray.functions import classifier as clf
+
+    iters, lr, frac = 8, 20.0, 0.5
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    f = clf.featurize_batch(t, clf.N_BUCKETS, "en")
+    ids = np.asarray(t.column("doc_id"), np.int64)
+    ftrain = f.filter(pa.array(clf.train_sample_mask(ids, frac)))
+    w = np.zeros(clf.N_BUCKETS + 1, np.float64)
+    for _ in range(iters):   # twin: whole training set as ONE batch
+        g = clf.gradient_partial(ftrain, w, clf.N_BUCKETS)
+        w = w - lr * (g.astype(np.float64) / clf._SCALE) / ftrain.num_rows
+    z_twin = clf._logits(f, w)
+
+    for bs in (8192, 37):
+        got = to_pandas(cq.q_doc_quality_classifier(
+            SF, iters=iters, lr=lr, train_frac=frac, batch_size=bs)) \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert (got["doc_id"].to_numpy() == ids).all()
+        np.testing.assert_array_equal(got["logit"].to_numpy(), z_twin)
+
+
+def test_quality_classifier_learns_planted_signal(ray_session, tmp_path):
+    """Disjoint-vocabulary corpus ('en' docs speak alpha*, others
+    beta*): the trained classifier separates the classes perfectly —
+    every en logit above every non-en logit, all predictions right."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    voc_a = [f"alpha{i}" for i in range(30)]
+    voc_b = [f"beta{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        lang, voc = ("en", voc_a) if i < 20 else ("de", voc_b)
+        text = " ".join(rng.choice(voc, size=40))
+        rows.append((i, text, lang, "src0", len(text)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                     "source", "n_chars"])
+    d = tmp_path / "clf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = to_pandas(cq.q_doc_quality_classifier(str(d), train_frac=1.0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    z = out["logit"].to_numpy()
+    assert z[:20].min() > z[20:].max()          # clean margin
+    assert (out["pred"].to_numpy() == (df.lang == "en").to_numpy()).all()
+
+
+def test_lang_temperature_sample_tempers_the_mix(ray_session):
+    """α=0.5 multinomial rebalance: the rarest language is kept whole
+    (it has the largest n/p, so it sets the budget), every slice is a
+    subset of its input, each non-capped language lands within
+    binomial noise of n_min * (n_l/n_min)^α, and the whole thing is a
+    pure function of the data (rerun identical)."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    out = to_pandas(cq.q_lang_temperature_sample(SF))
+    n_in = docs.groupby("lang").size()
+    n_out = out.groupby("lang").size().reindex(n_in.index, fill_value=0)
+    rare = n_in.idxmin()
+    assert n_out[rare] == n_in[rare]              # rarest kept fully
+    assert (n_out <= n_in).all()
+    n_min = float(n_in.min())
+    for lang in n_in.index:
+        exp = n_min * (n_in[lang] / n_min) ** cq.TEMP_ALPHA
+        rate = exp / n_in[lang]
+        sd = (n_in[lang] * rate * (1 - rate)) ** 0.5
+        assert abs(n_out[lang] - exp) <= 5 * sd + 1, (lang, n_out[lang])
+    # tempered spread sits strictly between uniform and natural
+    spread_nat = n_in.max() / n_min
+    spread_out = n_out.max() / n_out.min()
+    assert 1.0 <= spread_out < spread_nat
+    again = to_pandas(cq.q_lang_temperature_sample(SF))
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))

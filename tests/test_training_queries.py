@@ -217,3 +217,33 @@ def test_semantic_dedup_keeps_distinct_corpus(ray_session):
     assert out.is_kept.all()
     n = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
     assert len(out) == n
+
+
+def test_shard_shuffle_is_a_permutation_and_order_is_seeded(ray_session):
+    """The shard shuffle emits every doc exactly once, positions are a
+    contiguous 0..n_s-1 range per shard, the within-shard order follows
+    the seeded md5 key (recomputed scalar-side), and shard sizes are
+    multinomial-balanced (no shard hogs the corpus)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from crawlingathome_server_ray.functions.canonicalize import \
+        md5_hash64_slow
+
+    sf = "/root/testdata/sf0.001"
+    out = tq.q_training_shard_shuffle(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    assert sorted(out.doc_id) == sorted(docs.doc_id)        # permutation
+    for sh, g in out.groupby("shard"):
+        g = g.sort_values("pos")
+        assert (g.pos.to_numpy() == np.arange(len(g))).all()
+        keys = (md5_hash64_slow(
+            [f"{tq.SHUF_SALT}{d}" for d in g.doc_id]) >> np.uint64(4))
+        assert (keys % tq.SHUF_SHARDS == sh).all()
+        order = np.lexsort((g.doc_id.to_numpy(), keys.astype(np.int64)))
+        assert (order == np.arange(len(g))).all()           # seeded order
+    sizes = out.groupby("shard").size()
+    n, p = len(docs), 1.0 / tq.SHUF_SHARDS
+    sd = (n * p * (1 - p)) ** 0.5
+    assert (abs(sizes - n * p) <= 5 * sd + 1).all()
