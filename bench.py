@@ -187,6 +187,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(cu.q_term_postings(sf_dir)))
         timed("snapshot_compact",
               lambda: consume(fq.q_snapshot_compact(sf_dir)))
+        # round 5b: classifier training + mix + shard shuffle
+        timed("doc_quality_classifier",
+              lambda: consume(cu.q_doc_quality_classifier(sf_dir)))
+        timed("lang_temperature_sample",
+              lambda: consume(cu.q_lang_temperature_sample(sf_dir)))
+        timed("training_shard_shuffle",
+              lambda: consume(tr.q_training_shard_shuffle(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module
