@@ -194,6 +194,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(cu.q_lang_temperature_sample(sf_dir)))
         timed("training_shard_shuffle",
               lambda: consume(tr.q_training_shard_shuffle(sf_dir)))
+        timed("source_data_card",
+              lambda: consume(cu.q_source_data_card(sf_dir)))
+        timed("corpus_budget_trim",
+              lambda: consume(cu.q_corpus_budget_trim(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

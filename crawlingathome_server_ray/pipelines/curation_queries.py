@@ -992,6 +992,173 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
            AS UBIGINT) / 1152921504606846976.0 < rate"""
 
 
+# ----------------------------------------------------- source data cards
+def q_source_data_card(sf_dir: str):
+    """Per-source corpus data card (SURVEY X52): the dataset-
+    documentation aggregate every released corpus ships (C4's and
+    Dolma's per-domain composition tables) — docs, token and char
+    volume, English share, and language diversity per source.
+
+    ONE streaming pass emits per-batch (source, lang) partials (counts
+    + token/char sums), then one groupby bounded by #sources × #langs —
+    a metadata-scale table at any corpus size — finished vectorized on
+    the driver. Only integer facts are emitted."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks, doc_of = _tokens_doc_idx(b)
+        ntok = np.bincount(doc_of, minlength=b.num_rows).astype(np.int64)
+        t = pa.table({
+            "source": b.column("source"),
+            "lang": b.column("lang"),
+            "n_toks": pa.array(ntok, pa.int64()),
+            "n_chars": b.column("n_chars"),
+        })
+        g = t.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("n_toks", "sum"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "lang", "n_docs",
+                                 "total_tokens", "total_chars"])
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=BATCH)
+             .groupby(["source", "lang"])
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("total_tokens", alias_name="total_tokens"),
+                        Sum("total_chars", alias_name="total_chars"))
+             .to_pandas())              # bounded: #sources × #langs rows
+    en = parts[parts.lang == "en"].groupby("source")["n_docs"].sum()
+    out = parts.groupby("source").agg(
+        n_docs=("n_docs", "sum"), n_langs=("lang", "nunique"),
+        total_tokens=("total_tokens", "sum"),
+        total_chars=("total_chars", "sum")).reset_index()
+    out["n_en"] = out["source"].map(en).fillna(0).astype("int64")
+    out = out[["source", "n_docs", "n_en", "n_langs",
+               "total_tokens", "total_chars"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
+SQL_DATA_CARD = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len({SQL_TOKS})) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source"""
+
+
+# ----------------------------------------- leakage-free train/valid split
+SPLIT_SALT = "split3:"
+SPLIT_VALID_FRAC = 0.125
+
+
+def q_train_valid_split(sf_dir: str, valid_frac: float = SPLIT_VALID_FRAC):
+    """Contamination-safe train/valid split (SURVEY X53): the split key
+    is the SOURCE (domain), not the document — every doc from one source
+    lands on the same side, so near-duplicates within a domain can never
+    straddle the split (the leakage mode document-level splits suffer;
+    the C4/Pile eval-split discipline). Assignment is the md5 uniform
+    key of the salted source name: a pure function of the data, no
+    shuffle at all — one vectorized map over (doc_id, source)."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("source"), dtype=object)
+        h = md5_hash64(np.char.add(SPLIT_SALT, src.astype(str)))
+        u = (h >> np.uint64(4)).astype(np.float64) / np.float64(2 ** 60)
+        split = np.where(u < valid_frac, "valid", "train")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "source": b.column("source"),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_SPLIT = f"""
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || source), 1, 15))
+                 AS UBIGINT) / 1152921504606846976.0 < {SPLIT_VALID_FRAC}
+            THEN 'valid' ELSE 'train' END AS split
+FROM documents"""
+
+
+# ------------------------------------------------- token-budget trimming
+TRIM_SALT = "trim5:"
+TRIM_FRAC = 0.25
+TRIM_BUCKETS = 64
+
+
+def q_corpus_budget_trim(sf_dir: str, frac: float = TRIM_FRAC):
+    """Char-budget corpus trim in seeded order (SURVEY X54): keep the
+    prefix of the md5-shuffled corpus whose cumulative size fits the
+    budget — how a fixed-token-budget training run selects its subset
+    without biasing toward any source or crawl order (the seeded
+    permutation IS the unbiased sampler).
+
+    The global running sum is an ordered-bucket prefix sum, not a
+    driver sort: bucket = top-6-bits of the 60-bit key (order-
+    preserving across buckets), (1) per-bucket char totals → driver
+    prefix over 64 rows, (2) per-bucket vectorized sort + cumsum +
+    bucket base, keep rows with cum ≤ budget. Both passes move only
+    (doc_id, key, n_chars) — text never shuffles; exact int64
+    arithmetic end-to-end so the DuckDB window-sum oracle matches
+    row-for-row."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        h = md5_hash64(np.char.add(TRIM_SALT, np.char.mod("%d", ids)))
+        key = (h >> np.uint64(4)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(key >> (60 - 6), pa.int64()),
+            "key": pa.array(key, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": b.column("n_chars")})
+
+    slim = coalesce_slim(ds.map_batches(keyed, batch_format="pyarrow",
+                                        batch_size=BATCH))
+    totals = (slim.groupby("bucket")
+              .aggregate(Sum("n_chars", alias_name="chars"))
+              .to_pandas())                     # ≤ TRIM_BUCKETS rows
+    tb = np.zeros(TRIM_BUCKETS, np.int64)
+    tb[totals["bucket"].to_numpy(np.int64)] = \
+        totals["chars"].to_numpy(np.int64)
+    bases = np.concatenate(([0], np.cumsum(tb)[:-1]))
+    budget = int(np.int64(tb.sum()) * frac)     # floor, exact at int64
+    bases_ref = ray.put(bases)
+
+    def trim(g: pa.Table) -> pa.Table:
+        key = np.asarray(g.column("key"), np.int64)
+        ids = np.asarray(g.column("doc_id"), np.int64)
+        nch = np.asarray(g.column("n_chars"), np.int64)
+        order = np.lexsort((ids, key))
+        cum = np.cumsum(nch[order]) + ray.get(bases_ref)[key[0] >> (60 - 6)]
+        keep = cum <= budget
+        return pa.table({"doc_id": pa.array(ids[order][keep], pa.int64()),
+                         "n_chars": pa.array(nch[order][keep], pa.int64())})
+
+    return slim.groupby("bucket").map_groups(trim, batch_format="pyarrow")
+
+
+SQL_BUDGET_TRIM = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5('{TRIM_SALT}' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS key
+  FROM documents),
+tot AS (SELECT CAST(floor(sum(n_chars) * {TRIM_FRAC}) AS BIGINT) AS b FROM k),
+c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY key, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM k)
+SELECT doc_id, n_chars FROM c, tot WHERE cum <= b"""
+
+
 CURATION_QUERIES = {
     "term_postings": q_term_postings,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1003,6 +1170,9 @@ CURATION_QUERIES = {
     "lang_mix_sample": q_lang_mix_sample,
     "lang_temperature_sample": q_lang_temperature_sample,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "source_data_card": q_source_data_card,
+    "train_valid_split": q_train_valid_split,
+    "corpus_budget_trim": q_corpus_budget_trim,
     "doc_lm_score": q_doc_lm_score,
     "dsir_select": q_dsir_select,
 }
@@ -1017,5 +1187,8 @@ CURATION_SQL = {
     "doc_weighted_sample": SQL_WSAMPLE,
     "lang_mix_sample": SQL_LANG_MIX,
     "lang_temperature_sample": SQL_LANG_TEMP,
+    "source_data_card": SQL_DATA_CARD,
+    "train_valid_split": SQL_SPLIT,
+    "corpus_budget_trim": SQL_BUDGET_TRIM,
     "dsir_select": SQL_DSIR,
 }

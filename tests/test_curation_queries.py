@@ -309,3 +309,53 @@ def test_lang_temperature_sample_tempers_the_mix(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_source_data_card_totals_are_consistent(ray_session):
+    """Card rows reconcile with the corpus: doc counts, char totals and
+    the en-share bound all add up."""
+    import pandas as pd
+
+    card = to_pandas(cq.q_source_data_card(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+    assert card.n_docs.sum() == len(docs)
+    assert card.total_chars.sum() == docs.n_chars.sum()
+    assert (card.n_en <= card.n_docs).all()
+    assert card.n_en.sum() == (docs.lang == "en").sum()
+    per_src = docs.groupby("source").lang.nunique()
+    assert (card.set_index("source").n_langs == per_src).all()
+
+
+def test_train_valid_split_is_source_disjoint(ray_session):
+    """No source straddles the split (the leakage guarantee), both
+    sides exist at this scale, and docs of one source share a side."""
+    out = to_pandas(cq.q_train_valid_split(SF))
+    sides = out.groupby("source").split.nunique()
+    assert (sides == 1).all()
+    assert set(out.split.unique()) == {"train", "valid"}
+
+
+def test_corpus_budget_trim_is_the_maximal_seeded_prefix(ray_session):
+    """Scalar twin: recompute the seeded order with hashlib, take the
+    maximal prefix under the budget — the distributed trim returns
+    exactly that set, and one more doc would overflow the budget."""
+    import pandas as pd
+    from crawlingathome_server_ray.functions.canonicalize import \
+        md5_hash64_slow
+
+    out = to_pandas(cq.q_corpus_budget_trim(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    keys = (md5_hash64_slow(
+        [f"{cq.TRIM_SALT}{d}" for d in docs.doc_id]) >> np.uint64(4)) \
+        .astype(np.int64)
+    docs = docs.assign(key=keys).sort_values(["key", "doc_id"])
+    budget = int(docs.n_chars.sum() * cq.TRIM_FRAC)
+    cum = docs.n_chars.cumsum()
+    expect = docs[cum <= budget]
+    assert set(out.doc_id) == set(expect.doc_id)
+    assert out.n_chars.sum() == expect.n_chars.sum() <= budget
+    nxt = docs[cum > budget]
+    if len(nxt):
+        assert out.n_chars.sum() + nxt.n_chars.iloc[0] > budget  # maximal
