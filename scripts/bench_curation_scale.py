@@ -187,6 +187,16 @@ def main() -> None:
     # finding is O(cell²) work, so fixed n_clusters stops scaling past ~50k
     timed("semantic_dedup", lambda: tq.q_semantic_dedup(
         sf_dir, threshold=0.99, n_clusters=max(16, n_docs // 3000)))
+    # round 5: classifier / data-mix / packaging family (X49-X54)
+    timed("doc_quality_classifier",
+          lambda: cq.q_doc_quality_classifier(sf_dir))
+    timed("lang_temperature_sample",
+          lambda: cq.q_lang_temperature_sample(sf_dir))
+    timed("training_shard_shuffle",
+          lambda: tq.q_training_shard_shuffle(sf_dir))
+    timed("source_data_card", lambda: cq.q_source_data_card(sf_dir))
+    timed("train_valid_split", lambda: cq.q_train_valid_split(sf_dir))
+    timed("corpus_budget_trim", lambda: cq.q_corpus_budget_trim(sf_dir))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)

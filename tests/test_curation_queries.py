@@ -359,3 +359,27 @@ def test_corpus_budget_trim_is_the_maximal_seeded_prefix(ray_session):
     nxt = docs[cum > budget]
     if len(nxt):
         assert out.n_chars.sum() + nxt.n_chars.iloc[0] > budget  # maximal
+
+
+def test_quality_classifier_degenerate_edges(ray_session, tmp_path):
+    """Zero-token docs score bias-only and an empty training sample
+    (train_frac=0) yields zero weights — no crash, typed output."""
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["alpha beta", "", "   "],
+        "lang": ["en", "de", "en"],
+        "source": ["s"] * 3, "n_chars": [10, 0, 3]})
+    d = tmp_path / "edge"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    out = to_pandas(cq.q_doc_quality_classifier(str(d), train_frac=0.0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out.logit == 0.0).all()          # zero weights, zero bias
+    assert (out.n_toks.to_numpy() == [2, 0, 0]).all()
+    out2 = to_pandas(cq.q_doc_quality_classifier(str(d), iters=3)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out2) == 3                    # trained path also survives
