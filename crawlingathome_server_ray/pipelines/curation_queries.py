@@ -1084,6 +1084,70 @@ SELECT doc_id, source,
 FROM documents"""
 
 
+# ------------------------------------------------ model-eval AUC (rank sum)
+def q_score_auc_eval(sf_dir: str):
+    """Distributed classifier evaluation (SURVEY X55): the AUC /
+    Mann-Whitney U of a score against a binary label, computed exactly
+    from per-score counts — the eval every filter model (X49, CCNet,
+    fastText quality) needs at corpus scale. Demonstrated on a
+    data-derived score (n_chars predicting lang='en') so DuckDB can
+    recompute it bit-for-bit; a model-score AUC quantizes logits first
+    (standard practice) and reuses this exact machinery.
+
+    The ties-averaged U = Σ_s n_pos(s)·(cum_neg_below(s) + n_neg(s)/2)
+    needs only (score → n_pos, n_neg): ONE partial-aggregated groupby
+    bounded by the distinct-score count (a metadata-scale table — doc
+    lengths, or quantized logits), then an exact integer fold on the
+    driver. Emitted as 2U (doubling clears the half-credit ties term),
+    so the output is all-int64 and the oracle hash-matches: AUC =
+    u2 / (2·n_pos·n_neg)."""
+    ds = _docs(sf_dir, ["n_chars", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_p = np.asarray(pc.equal(b.column("lang"), "en"))
+        nch = np.asarray(b.column("n_chars"), np.int64)
+        t = pa.table({"score": pa.array(nch, pa.int64()),
+                      "np_": pa.array(is_p.astype(np.int64), pa.int64()),
+                      "nn_": pa.array((~is_p).astype(np.int64),
+                                      pa.int64())})
+        g = t.group_by("score").aggregate([("np_", "sum"), ("nn_", "sum")])
+        return g.rename_columns(["score", "np_", "nn_"])
+
+    from ray.data.aggregate import Sum
+    per_score = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=BATCH)
+                 .groupby("score")
+                 .aggregate(Sum("np_", alias_name="np_"),
+                            Sum("nn_", alias_name="nn_"))
+                 .to_pandas())          # bounded by #distinct scores
+    per_score = per_score.sort_values("score")
+    np_ = per_score["np_"].to_numpy(np.int64)
+    nn_ = per_score["nn_"].to_numpy(np.int64)
+    cum_nn = np.concatenate(([0], np.cumsum(nn_)[:-1]))
+    u2 = int((np_ * (2 * cum_nn + nn_)).sum())
+    return pd.DataFrame({"n_pos": pd.array([int(np_.sum())], "int64"),
+                         "n_neg": pd.array([int(nn_.sum())], "int64"),
+                         "u2": pd.array([u2], "int64")})
+
+
+SQL_AUC = """
+WITH s AS (
+  SELECT n_chars AS score,
+         count(*) FILTER (WHERE lang = 'en') AS np_,
+         count(*) FILTER (WHERE lang <> 'en') AS nn_
+  FROM documents GROUP BY n_chars),
+o AS (
+  SELECT score, np_, nn_,
+         coalesce(sum(nn_) OVER (ORDER BY score
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_nn
+  FROM s)
+SELECT CAST(sum(np_) AS BIGINT) AS n_pos,
+       CAST(sum(nn_) AS BIGINT) AS n_neg,
+       CAST(sum(np_ * (2 * cum_nn + nn_)) AS BIGINT) AS u2
+FROM o"""
+
+
 # ------------------------------------------------- token-budget trimming
 TRIM_SALT = "trim5:"
 TRIM_FRAC = 0.25
@@ -1173,6 +1237,7 @@ CURATION_QUERIES = {
     "source_data_card": q_source_data_card,
     "train_valid_split": q_train_valid_split,
     "corpus_budget_trim": q_corpus_budget_trim,
+    "score_auc_eval": q_score_auc_eval,
     "doc_lm_score": q_doc_lm_score,
     "dsir_select": q_dsir_select,
 }
@@ -1190,5 +1255,6 @@ CURATION_SQL = {
     "source_data_card": SQL_DATA_CARD,
     "train_valid_split": SQL_SPLIT,
     "corpus_budget_trim": SQL_BUDGET_TRIM,
+    "score_auc_eval": SQL_AUC,
     "dsir_select": SQL_DSIR,
 }

@@ -383,3 +383,33 @@ def test_quality_classifier_degenerate_edges(ray_session, tmp_path):
     out2 = to_pandas(cq.q_doc_quality_classifier(str(d), iters=3)) \
         .sort_values("doc_id").reset_index(drop=True)
     assert len(out2) == 3                    # trained path also survives
+
+
+def test_score_auc_eval_equals_scalar_rank_twin(ray_session):
+    """2U from per-score counts == the scalar ties-averaged rank AUC
+    computed doc-by-doc, and the implied AUC lands in [0, 1]."""
+    import pandas as pd
+
+    out = to_pandas(cq.q_score_auc_eval(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["n_chars", "lang"])
+    y = (docs.lang == "en").to_numpy()
+    s = docs.n_chars.to_numpy(np.float64)
+    # scalar twin: average ranks with ties, U = R_pos - n_pos(n_pos+1)/2
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), np.float64)
+    sorted_s = s[order]
+    i = 0
+    r = np.arange(1, len(s) + 1, dtype=np.float64)
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j + 1]] = r[i:j + 1].mean()
+        i = j + 1
+    n_pos, n_neg = int(y.sum()), int((~y).sum())
+    u = ranks[y].sum() - n_pos * (n_pos + 1) / 2
+    assert out.n_pos[0] == n_pos and out.n_neg[0] == n_neg
+    assert out.u2[0] == int(round(2 * u))
+    auc = out.u2[0] / (2 * n_pos * n_neg)
+    assert 0.0 <= auc <= 1.0
