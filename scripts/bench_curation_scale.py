@@ -197,6 +197,7 @@ def main() -> None:
     timed("source_data_card", lambda: cq.q_source_data_card(sf_dir))
     timed("train_valid_split", lambda: cq.q_train_valid_split(sf_dir))
     timed("corpus_budget_trim", lambda: cq.q_corpus_budget_trim(sf_dir))
+    timed("score_auc_eval", lambda: cq.q_score_auc_eval(sf_dir))
 
     ray.shutdown()
     total = round(sum(times.values()), 3)
