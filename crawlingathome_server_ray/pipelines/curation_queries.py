@@ -1084,6 +1084,64 @@ SELECT doc_id, source,
 FROM documents"""
 
 
+# ------------------------------------- per-group percentile quality gate
+PCTL_Q = 0.25
+
+
+def q_quality_percentile_filter(sf_dir: str, q: float = PCTL_Q):
+    """Per-language percentile quality gate (SURVEY X56): drop each
+    language's bottom quartile by length — the relative-threshold form
+    of the Gopher/CCNet quality gates (absolute cutoffs misfire across
+    languages whose length distributions differ; the percentile is
+    per-group by construction).
+
+    Pass 1 reuses the exact histogram-quantile shape of
+    ``docs_queries.q_doc_length_quantiles`` (value-count partials → one
+    groupby bounded by #langs × #distinct lengths → DuckDB
+    quantile_disc rank rule ceil(q·n)); thresholds — one row per
+    language — broadcast in the closure; pass 2 is a vectorized
+    keep-mask. No shuffle ever touches the documents themselves."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(["lang", "n_chars"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    hist = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=BATCH)
+            .groupby(["lang", "n_chars"])
+            .sum("n")
+            .to_pandas())            # ≤ #langs × #distinct lengths rows
+    hist = hist.rename(columns={"sum(n)": "n"}).sort_values(
+        ["lang", "n_chars"])
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang", sort=False):
+        vals = g["n_chars"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        rank = max(1, int(np.ceil(q * int(cum[-1]))))
+        thr[lang] = int(vals[np.searchsorted(cum, rank)])
+    langs_sorted = np.array(sorted(thr), dtype=object)
+    thr_arr = np.array([thr[lg] for lg in langs_sorted], np.int64)
+
+    def keep(b: pa.Table) -> pa.Table:
+        lg = np.asarray(b.column("lang"), dtype=object)
+        nch = np.asarray(b.column("n_chars"), np.int64)
+        t = thr_arr[np.searchsorted(langs_sorted, lg)]
+        return b.filter(pa.array(nch >= t))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_PCTL_FILTER = f"""
+WITH t AS (SELECT lang, quantile_disc(n_chars, {PCTL_Q}) AS thr
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN t USING (lang)
+WHERE d.n_chars >= t.thr"""
+
+
 # ------------------------------------------------ model-eval AUC (rank sum)
 def q_score_auc_eval(sf_dir: str):
     """Distributed classifier evaluation (SURVEY X55): the AUC /
@@ -1238,6 +1296,7 @@ CURATION_QUERIES = {
     "train_valid_split": q_train_valid_split,
     "corpus_budget_trim": q_corpus_budget_trim,
     "score_auc_eval": q_score_auc_eval,
+    "quality_percentile_filter": q_quality_percentile_filter,
     "doc_lm_score": q_doc_lm_score,
     "dsir_select": q_dsir_select,
 }
@@ -1256,5 +1315,6 @@ CURATION_SQL = {
     "train_valid_split": SQL_SPLIT,
     "corpus_budget_trim": SQL_BUDGET_TRIM,
     "score_auc_eval": SQL_AUC,
+    "quality_percentile_filter": SQL_PCTL_FILTER,
     "dsir_select": SQL_DSIR,
 }

@@ -413,3 +413,22 @@ def test_score_auc_eval_equals_scalar_rank_twin(ray_session):
     assert out.u2[0] == int(round(2 * u))
     auc = out.u2[0] / (2 * n_pos * n_neg)
     assert 0.0 <= auc <= 1.0
+
+
+def test_quality_percentile_filter_keeps_top_three_quartiles(ray_session):
+    """Per language: every survivor is >= that language's exact
+    quantile_disc(0.25) threshold, at least ~75% of the slice survives,
+    and every dropped doc is strictly below the threshold."""
+    import pandas as pd
+
+    out = to_pandas(cq.q_quality_percentile_filter(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    for lang, g in docs.groupby("lang"):
+        v = np.sort(g.n_chars.to_numpy())
+        thr = v[max(1, int(np.ceil(cq.PCTL_Q * len(v)))) - 1]
+        kept = out[out.lang == lang]
+        assert (kept.n_chars >= thr).all()
+        dropped = g[~g.doc_id.isin(kept.doc_id)]
+        assert (dropped.n_chars < thr).all()
+        assert len(kept) >= 0.70 * len(g)
