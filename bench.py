@@ -198,6 +198,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(cu.q_source_data_card(sf_dir)))
         timed("corpus_budget_trim",
               lambda: consume(cu.q_corpus_budget_trim(sf_dir)))
+        # round 5c: BFS depth + collocations + vocab audit + rollup
+        timed("host_bfs_depth",
+              lambda: consume(lq.q_host_bfs_depth(sf_dir)))
+        timed("pmi_collocations",
+              lambda: consume(dq.q_pmi_collocations(sf_dir)))
+        timed("vocab_oov_rate",
+              lambda: consume(dq.q_vocab_oov_rate(sf_dir)))
+        timed("corpus_rollup",
+              lambda: consume(cu.q_corpus_rollup(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

@@ -1281,6 +1281,56 @@ c AS (
 SELECT doc_id, n_chars FROM c, tot WHERE cum <= b"""
 
 
+# ------------------------------------------------ rollup cube (source×lang)
+def q_corpus_rollup(sf_dir: str):
+    """Multi-level corpus rollup (SURVEY X60): doc and char volumes at
+    every grouping level of (source, lang) — the GROUPING SETS cube a
+    dataset card's summary tables are cut from ((source, lang),
+    (source), (lang), ()), absent keys as the '*' sentinel.
+
+    ONE streaming partial pass + one groupby bounded by
+    #sources × #langs computes the finest grain; the three coarser
+    levels are re-aggregations of that metadata-scale table on the
+    driver (re-reading the corpus once per level — what GROUPING SETS
+    does naively — would be 4 full scans for zero extra information).
+    Exact int64 end-to-end."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("n_chars", "size"), chars=("n_chars", "sum"))
+             .reset_index())
+        return g.astype({"n_docs": "int64", "chars": "int64"})
+
+    fine = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=BATCH)
+            .groupby(["source", "lang"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("chars", alias_name="chars"))
+            .to_pandas())               # ≤ #sources × #langs rows
+    cols = ["n_docs", "chars"]
+    by_src = fine.groupby("source", as_index=False)[cols].sum()
+    by_src["lang"] = "*"
+    by_lang = fine.groupby("lang", as_index=False)[cols].sum()
+    by_lang["source"] = "*"
+    total = pd.DataFrame({"source": ["*"], "lang": ["*"],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "chars": [fine["chars"].sum()]})
+    out = pd.concat([fine, by_src, by_lang, total], ignore_index=True)
+    out = out[["source", "lang", "n_docs", "chars"]]
+    return out.astype({"n_docs": "int64", "chars": "int64"})
+
+
+SQL_ROLLUP = """
+SELECT coalesce(source, '*') AS source, coalesce(lang, '*') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
+
+
 CURATION_QUERIES = {
     "term_postings": q_term_postings,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1293,6 +1343,7 @@ CURATION_QUERIES = {
     "lang_temperature_sample": q_lang_temperature_sample,
     "doc_quality_classifier": q_doc_quality_classifier,
     "source_data_card": q_source_data_card,
+    "corpus_rollup": q_corpus_rollup,
     "train_valid_split": q_train_valid_split,
     "corpus_budget_trim": q_corpus_budget_trim,
     "score_auc_eval": q_score_auc_eval,
@@ -1312,6 +1363,7 @@ CURATION_SQL = {
     "lang_mix_sample": SQL_LANG_MIX,
     "lang_temperature_sample": SQL_LANG_TEMP,
     "source_data_card": SQL_DATA_CARD,
+    "corpus_rollup": SQL_ROLLUP,
     "train_valid_split": SQL_SPLIT,
     "corpus_budget_trim": SQL_BUDGET_TRIM,
     "score_auc_eval": SQL_AUC,

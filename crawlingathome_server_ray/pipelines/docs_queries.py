@@ -1086,6 +1086,206 @@ ORDER BY n DESC, bigram
 LIMIT {TOP_BIGRAMS_K}"""
 
 
+def _toks_docof(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(tokens, doc_row_index): Arrow whitespace split with empties
+    dropped — the same grammar as the q_top_bigrams partial and the
+    oracles' list_filter(regexp_split_to_array(...), x -> x <> '')."""
+    texts = b.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.utf8_split_whitespace(texts)
+    flat = lists.flatten()
+    raw_counts = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(raw_counts)), raw_counts)
+    keep = np.asarray(pc.not_equal(flat, ""))
+    return np.asarray(flat, dtype=object)[keep], doc_of[keep]
+
+
+PMI_MIN_N = 4
+
+
+def q_pmi_collocations(sf_dir: str, min_n: int = PMI_MIN_N,
+                       n_buckets: int = 64):
+    """PMI collocation extraction (SURVEY X58): every adjacent-token
+    bigram seen ≥ ``min_n`` times, with the exact corpus counts PMI
+    needs — (w1, w2, n_pair, n_w1, n_w2); the score itself,
+    ln(n_pair·N/(n_w1·n_w2)) (Church & Hanks 1990), is a pure function
+    of these integers, so only exact int64 facts are emitted and the
+    oracle hash-matches (the module-header float discipline).
+
+    Shape: the bigram and unigram totals are two bucketed exact folds
+    (the top_bigrams pattern — per-batch Arrow/pandas partial counts,
+    a gram never spans buckets); the support filter shrinks the pair
+    table BEFORE the two native hash joins that attach each word's
+    unigram count. Everything stays a distributed Dataset — at corpus
+    scale the collocation table is vocabulary-sized, never
+    driver-resident."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    npart = max(8, min(64, cpus))
+
+    empty_b = pa.table({"w1": pa.array([], pa.string()),
+                        "w2": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "bucket": pa.array([], pa.int32())})
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        toks, doc_of = _toks_docof(b)
+        if len(toks) < 2:
+            return empty_b
+        adj = doc_of[:-1] == doc_of[1:]
+        per = (pd.DataFrame({"w1": toks[:-1][adj], "w2": toks[1:][adj]})
+               .groupby(["w1", "w2"], sort=False).size()
+               .reset_index(name="n"))
+        grams = (per["w1"] + " " + per["w2"]).to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(grams) % n_buckets).astype(np.int32)
+        return pa.table({"w1": pa.array(per["w1"], pa.string()),
+                         "w2": pa.array(per["w2"], pa.string()),
+                         "n": pa.array(per["n"].to_numpy(np.int64)),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def bigram_fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["w1", "w2"], sort=False, as_index=False)["n"]
+               .sum())
+        tot = tot[tot["n"] >= min_n]
+        tot["n_pair"] = tot["n"].astype("int64")
+        return tot[["w1", "w2", "n_pair"]]
+
+    pairs = (coalesce_slim(ds.map_batches(bigram_partial,
+                                          batch_format="pyarrow",
+                                          batch_size=BATCH))
+             .groupby("bucket").map_groups(bigram_fold,
+                                           batch_format="pandas"))
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        toks, _ = _toks_docof(b)
+        vc = pd.Series(toks).value_counts()
+        words = vc.index.to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(words) % n_buckets).astype(np.int32)
+        return pa.table({"w": pa.array(words, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64)),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def uni_fold(col: str):
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            tot = g.groupby("w", sort=False, as_index=False)["n"].sum()
+            return pd.DataFrame({col.replace("n_", ""): tot["w"],
+                                 col: tot["n"].astype("int64")})
+        return fold
+
+    uni = coalesce_slim(ds.map_batches(uni_partial, batch_format="pyarrow",
+                                       batch_size=BATCH))
+    u1 = uni.groupby("bucket").map_groups(uni_fold("n_w1"),
+                                          batch_format="pandas")
+    u2 = uni.groupby("bucket").map_groups(uni_fold("n_w2"),
+                                          batch_format="pandas")
+    j = pairs.join(u1, join_type="inner", num_partitions=npart, on=("w1",))
+    return j.join(u2, join_type="inner", num_partitions=npart, on=("w2",))
+
+
+SQL_PMI = f"""
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (
+  SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS n_w
+  FROM d, LATERAL unnest(d.toks) AS t(tok) GROUP BY 1),
+big AS (
+  SELECT d.toks[t.i] AS w1, d.toks[t.i + 1] AS w2,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM d, LATERAL unnest(range(1, len(d.toks))) AS t(i)
+  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_N})
+SELECT b.w1, b.w2, b.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2
+FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2"""
+
+
+# the sf-synth lexicon is ~30 distinct whitespace tokens, so V=16 leaves
+# a real OOV signal at every test scale (production would use 10^5-10^6)
+VOCAB_V = 16
+
+
+def q_vocab_oov_rate(sf_dir: str, v: int = VOCAB_V, n_buckets: int = 64):
+    """Vocabulary coverage / OOV-rate audit (SURVEY X59): build the
+    exact global top-V vocabulary by corpus frequency (count desc, term
+    asc — the tokenizer-design question "how much of the corpus does a
+    V-word vocab cover"), then score every document's token count and
+    out-of-vocabulary token count against it. Output (doc_id, n_tokens,
+    n_oov) — exact int64, zero-token docs omitted on both sides.
+
+    Pass 1 is the bucketed exact top-k shape (per-batch partials, a
+    term never spans buckets ⇒ per-bucket totals exact ⇒ the global
+    top-V is a subset of the ≤ buckets·V per-bucket winners merged on
+    the driver). The vocab — V words, fixed and small — broadcasts
+    once via ``ray.put``; pass 2 is a vectorized searchsorted
+    membership per batch, no shuffle at all."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        toks, _ = _toks_docof(b)
+        vc = pd.Series(toks).value_counts()
+        words = vc.index.to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(words) % n_buckets).astype(np.int32)
+        return pa.table({"w": pa.array(words, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64)),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def bucket_topv(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("w", sort=False, as_index=False)["n"].sum()
+        return (tot.sort_values(["n", "w"], ascending=[False, True],
+                                kind="mergesort").head(v)[["w", "n"]])
+
+    cand = (coalesce_slim(ds.map_batches(uni_partial,
+                                         batch_format="pyarrow",
+                                         batch_size=BATCH))
+            .groupby("bucket").map_groups(bucket_topv,
+                                          batch_format="pandas")
+            .to_pandas())                        # ≤ n_buckets·V rows
+    vocab = np.sort(cand.sort_values(["n", "w"],
+                                     ascending=[False, True],
+                                     kind="mergesort")
+                    .head(v)["w"].to_numpy(dtype=object))
+    vocab_ref = ray.put(vocab)
+
+    def score(b: pa.Table) -> pa.Table:
+        toks, doc_of = _toks_docof(b)
+        ids = np.asarray(b.column("doc_id"), np.int64)
+        if len(toks) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_oov": pa.array([], pa.int64())})
+        vb = ray.get(vocab_ref)
+        pos = np.searchsorted(vb, toks)
+        pos[pos == len(vb)] = 0
+        oov = vb[pos] != toks
+        n_tok = np.bincount(doc_of, minlength=len(ids))
+        n_oov = np.bincount(doc_of, weights=oov, minlength=len(ids))
+        keep = n_tok > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+            "n_oov": pa.array(n_oov[keep].astype(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
+
+
+SQL_OOV = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents) d,
+       LATERAL unnest(d.toks) AS t(tok)),
+cnt AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+vocab AS (SELECT term FROM cnt ORDER BY n DESC, term LIMIT {VOCAB_V})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE term NOT IN
+                             (SELECT term FROM vocab)) AS BIGINT) AS n_oov
+FROM toks GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------- embeddings
 def q_ann_topk(sf_dir: str):
     return ann.brute_force_topk(sf_dir, n_queries=10, k=10)
@@ -1207,6 +1407,8 @@ DOCS_QUERIES = {
     "docs_curated": q_docs_curated,
     "docs_scrub_pipeline": q_docs_scrub_pipeline,
     "top_bigrams": q_top_bigrams,
+    "pmi_collocations": q_pmi_collocations,
+    "vocab_oov_rate": q_vocab_oov_rate,
     "ngram_jaccard_dup": q_ngram_jaccard_dup,
     "doc_substring_dup": q_doc_substring_dup,
     "doc_substring_winnow": q_doc_substring_winnow,
@@ -1236,6 +1438,8 @@ DOCS_SQL = {
     "docs_curated": SQL_DOCS_CURATED,
     "docs_scrub_pipeline": _sql_scrub_pipeline(),
     "top_bigrams": SQL_TOP_BIGRAMS,
+    "pmi_collocations": SQL_PMI,
+    "vocab_oov_rate": SQL_OOV,
     "ngram_jaccard_dup": _sql_ngram_jaccard(),
     "doc_substring_dup": _sql_substring_dup(),
     "ann_topk": SQL_ANN_TOPK,

@@ -203,6 +203,14 @@ class _EdgeShardActor:
         np.add.at(v, self.src, self.w * vec[self.dst])
         return v
 
+    def push_reach(self, mask: np.ndarray) -> np.ndarray:
+        """One BFS expansion step: bool mask over hosts → bool mask of
+        hosts reachable via one directed edge from any masked host."""
+        v = np.zeros(self.n, bool)
+        if len(self.src):
+            v[self.dst[mask[self.src]]] = True
+        return v
+
     def label_weights(self, labels: np.ndarray):
         """Per-(node, neighbor-label) edge-weight partials for label
         propagation, the graph treated as UNDIRECTED (each directed edge
@@ -274,6 +282,12 @@ class _EdgePool:
     def push_src(self, vec: np.ndarray) -> np.ndarray:
         ref = ray.put(vec)
         return self._merge([a.push_src.remote(ref) for a in self.actors])
+
+    def push_reach(self, mask: np.ndarray) -> np.ndarray:
+        ref = ray.put(mask)
+        parts = ray.get([a.push_reach.remote(ref) for a in self.actors])
+        return (np.logical_or.reduce(parts) if parts
+                else np.zeros(self.n, bool))
 
     def label_weights(self, labels: np.ndarray):
         """Merged (packed key, weight) arrays across shards; driver-side
@@ -595,6 +609,54 @@ def label_prop_fit(sf_dir: str, n_iter: int = 10) -> pd.DataFrame:
         pool.shutdown()
 
 
+# Seeded BFS crawl depth: every 13th host (by 60-bit md5) is a seed —
+# the deterministic stand-in for a curated seed list; depth capped so
+# the recursive oracle terminates on cyclic graphs.
+BFS_SEED_MOD = 13
+BFS_MAX_DEPTH = 32
+
+
+def bfs_depth_fit(sf_dir: str, max_depth: int = BFS_MAX_DEPTH) -> pd.DataFrame:
+    """Crawl-depth estimation (SURVEY X57): level-synchronous BFS from a
+    seeded host set over the DIRECTED host graph — min #link-hops from
+    any seed, the "crawl frontier ring" a breadth-first crawler reaches
+    each wave (Najork & Wiener, WWW'01: breadth-first order finds
+    high-quality pages early). Unreached hosts are omitted.
+
+    Same execution scheme as PageRank: the slim integer edge list loads
+    ONCE into the edge-shard actor pool; each BFS level is one boolean
+    scatter per shard with the frontier mask broadcast via ``ray.put``
+    (#levels ≤ graph diameter ≤ ``max_depth`` rounds, each O(#hosts)
+    driver state — the module-docstring host-universe bound). Exact
+    integer semantics end-to-end, so the DuckDB recursive-CTE oracle
+    hash-matches: this is the family's one ORACLED iterative operator
+    (PageRank/HITS/LPA are float fixed-points, rows-only)."""
+    from ..functions.canonicalize import md5_hash64
+    pool = _EdgePool(sf_dir)
+    try:
+        hosts = pool.hosts
+        depth = np.full(pool.n, -1, np.int64)
+        frontier = (md5_hash64(hosts) >> np.uint64(4)) \
+            % np.uint64(BFS_SEED_MOD) == 0
+        depth[frontier] = 0
+        for d in range(1, max_depth + 1):
+            reached = pool.push_reach(frontier) & (depth < 0)
+            if not reached.any():
+                break
+            depth[reached] = d
+            frontier = reached
+        keep = depth >= 0
+        return pd.DataFrame({"host": hosts[keep], "depth": depth[keep]})
+    finally:
+        pool.shutdown()
+
+
+def q_host_bfs_depth(sf_dir: str):
+    """(host, depth): min directed link-hops from the seeded host set;
+    oracled by a DuckDB recursive CTE over the same edge grammar."""
+    return bfs_depth_fit(sf_dir)
+
+
 def q_host_communities(sf_dir: str):
     """Rows-only: (host, community) from 10 synchronous label-propagation
     rounds; twin-tested against dense numpy + a planted-clique graph."""
@@ -678,6 +740,24 @@ def link_oracle_sql(linkpages_glob: str) -> dict[str, str]:
           FROM e a JOIN e b
             ON a.src_host = b.dst_host AND a.dst_host = b.src_host
           WHERE a.src_host < a.dst_host""",
+        "host_bfs_depth": f"""
+          WITH RECURSIVE e AS ({host_graph}),
+          hosts AS (
+            SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)', 1)
+                     AS host
+            FROM read_parquet('{linkpages_glob}')
+            UNION
+            SELECT DISTINCT dst_host FROM e),
+          bfs AS (
+            SELECT host, 0 AS depth FROM hosts
+            WHERE CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT)
+                  % {BFS_SEED_MOD} = 0
+            UNION
+            SELECT e.dst_host AS host, b.depth + 1 AS depth
+            FROM bfs b JOIN e ON e.src_host = b.host
+            WHERE b.depth < {BFS_MAX_DEPTH})
+          SELECT host, CAST(min(depth) AS BIGINT) AS depth
+          FROM bfs GROUP BY host""",
         "inlink_anchor_topk": f"""
           WITH t AS (
             SELECT regexp_extract(dst_url, '^https?://([^/]+)', 1)
@@ -711,6 +791,7 @@ LINK_QUERIES = {
     "reciprocal_hosts": q_reciprocal_hosts,
     "inlink_anchor_topk": q_inlink_anchor_topk,
     "frontier_expand": q_frontier_expand,
+    "host_bfs_depth": q_host_bfs_depth,
     "host_pagerank": q_host_pagerank,   # rows-only (iterative)
     "host_hits": q_host_hits,           # rows-only (iterative)
     "host_communities": q_host_communities,  # rows-only (iterative)

@@ -432,3 +432,23 @@ def test_quality_percentile_filter_keeps_top_three_quartiles(ray_session):
         dropped = g[~g.doc_id.isin(kept.doc_id)]
         assert (dropped.n_chars < thr).all()
         assert len(kept) >= 0.70 * len(g)
+
+
+def test_corpus_rollup_reconciles(ray_session):
+    """Every coarser rollup level reconciles exactly with the finest
+    (source, lang) grain, and the '*' total matches the corpus."""
+    got = to_pandas(cq.q_corpus_rollup(SF))
+    fine = got[(got.source != "*") & (got.lang != "*")]
+    tot = got[(got.source == "*") & (got.lang == "*")]
+    assert len(tot) == 1
+    for col in ("n_docs", "chars"):
+        assert tot[col].iloc[0] == fine[col].sum()
+        by_src = got[(got.source != "*") & (got.lang == "*")]
+        assert by_src.set_index("source")[col].equals(
+            fine.groupby("source")[col].sum().reindex(
+                by_src.set_index("source").index))
+    import duckdb
+    n, c = duckdb.sql(
+        f"SELECT count(*), sum(n_chars) FROM "
+        f"read_parquet('{SF}/documents.parquet')").fetchone()
+    assert tot["n_docs"].iloc[0] == n and tot["chars"].iloc[0] == c

@@ -540,3 +540,47 @@ def test_dedup_keep_best_prefers_richest_original(ray_session, tmp_path):
     from conftest import assert_frames_match
     assert_frames_match(got, con.execute(
         dq.DOCS_SQL["doc_dedup_keep_best"]).df(), "doc_dedup_keep_best")
+
+
+def test_pmi_collocations_scalar_twin(ray_session, tmp_path):
+    """Engineered corpus: counts equal a brute-force Counter, the
+    support threshold filters, and the unigram joins attach the right
+    totals (PMI is a pure function of the emitted integers)."""
+    import collections
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = ["red fox red fox jumps", "red fox", "red red red",
+             "fox jumps", ""]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    uni = collections.Counter(w for t in texts for w in t.split())
+    big = collections.Counter(
+        (a, b) for t in texts
+        for a, b in zip(t.split(), t.split()[1:]))
+    got = to_pandas(dq.q_pmi_collocations(str(tmp_path), min_n=2))
+    want = {(a, b): (n, uni[a], uni[b])
+            for (a, b), n in big.items() if n >= 2}
+    assert {(r.w1, r.w2): (r.n_pair, r.n_w1, r.n_w2)
+            for r in got.itertuples()} == want
+    assert ("red", "fox") in want and want[("red", "fox")] == (3, 6, 4)
+
+
+def test_vocab_oov_boundary_tiebreak(ray_session, tmp_path):
+    """At the V boundary, equal-count terms resolve alphabetically
+    (count desc, term asc) on both sides; zero-token docs are omitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    texts = ["b a", "a b", "c d", "d c", "   "]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = to_pandas(dq.q_vocab_oov_rate(str(tmp_path), v=2)) \
+        .set_index("doc_id")
+    # all four words tie at count 2 → vocab = {a, b} alphabetically
+    assert got.loc[0, "n_oov"] == 0 and got.loc[1, "n_oov"] == 0
+    assert got.loc[2, "n_oov"] == 2 and got.loc[3, "n_oov"] == 2
+    assert (got["n_tokens"] == 2).all() and 4 not in got.index

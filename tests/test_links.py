@@ -105,7 +105,34 @@ def test_link_oracles_exact_without_ray():
 
 _ORACLED = ["outlink_extract", "host_link_graph", "anchor_text",
             "host_degree", "reciprocal_hosts", "inlink_anchor_topk",
-            "frontier_expand"]
+            "frontier_expand", "host_bfs_depth"]
+
+
+def test_bfs_depth_scalar_twin(ray_session):
+    """bfs_depth_fit ≡ a spec-literal single-threaded BFS over the same
+    host graph and seed rule (min directed hops, unreached omitted)."""
+    from crawlingathome_server_ray.functions.canonicalize import md5_hash64
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        _all_hosts, BFS_SEED_MOD, bfs_depth_fit, q_host_link_graph)
+    g = q_host_link_graph(SF).to_pandas()
+    adj: dict[str, set[str]] = {}
+    for s, t in zip(g["src_host"], g["dst_host"]):
+        adj.setdefault(s, set()).add(t)
+    hosts = _all_hosts(SF)
+    depth = {h: 0 for h in hosts
+             if (int(md5_hash64([h])[0]) >> 4) % BFS_SEED_MOD == 0}
+    frontier, d = list(depth), 0
+    while frontier:
+        d += 1
+        frontier = [t for h in frontier for t in sorted(adj.get(h, ()))
+                    if t not in depth]
+        for t in frontier:
+            depth.setdefault(t, d)
+        frontier = sorted(set(frontier))
+    got = bfs_depth_fit(SF)
+    assert dict(zip(got["host"], got["depth"])) == depth
+    # seeds exist, and some hosts are only reached via edges
+    assert {0} < set(depth.values())
 
 
 def test_frontier_expand_excludes_crawled(ray_session):
