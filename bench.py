@@ -207,6 +207,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(dq.q_vocab_oov_rate(sf_dir)))
         timed("corpus_rollup",
               lambda: consume(cu.q_corpus_rollup(sf_dir)))
+        timed("doc_ppl_buckets",
+              lambda: consume(cu.q_doc_ppl_buckets(sf_dir)))
+        # index merge: clear the cached merged generation so each pass
+        # times the real base-read + delta-tokenize + fold work
+        import shutil as _sh
+        for d in _glob.glob("/tmp/graft_invidx/*_merged_*"):
+            _sh.rmtree(d, ignore_errors=True)
+        timed("term_postings_merged",
+              lambda: consume(cu.q_term_postings_merged(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

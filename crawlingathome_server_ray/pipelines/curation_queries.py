@@ -579,9 +579,23 @@ def q_doc_lm_score(sf_dir: str):
     Output (doc_id, n_trigrams, bits_per_trigram): lower = more like the
     corpus; gibberish scores high (pinned in tests). Rows-only for the
     driver (a trained-model score has no SQL twin)."""
-    from ..functions.text import (LM_BUCKETS, char_trigram_buckets,
-                                  segment_sums)
     ds = _docs(sf_dir, ["doc_id", "text"])
+    ref = ray.put(_lm_logp(ds))
+
+    def score(b: pa.Table) -> pa.Table:
+        t, bits = _lm_score_arrays(b, ray.get(ref))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_trigrams": pa.array(t, pa.int64()),
+                         "bits_per_trigram": pa.array(bits, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
+
+
+def _lm_logp(ds) -> np.ndarray:
+    """Model-build pass of the CCNet LM score (see q_doc_lm_score §1):
+    dense Laplace-smoothed log2-probability table from one streaming
+    sparse-count pass; driver work bounded by 2^18 rows per combine."""
+    from ..functions.text import LM_BUCKETS, char_trigram_buckets
 
     def partial(b: pa.Table) -> pa.Table:
         h, _ = char_trigram_buckets(
@@ -603,26 +617,97 @@ def q_doc_lm_score(sf_dir: str):
     np.add.at(counts, parts["b"].to_numpy(np.int64),
               parts["n"].to_numpy(np.int64))
     total = int(counts.sum())
-    logp = np.log2((counts + 1.0) / (total + LM_BUCKETS))
-    ref = ray.put(logp)
+    return np.log2((counts + 1.0) / (total + LM_BUCKETS))
 
-    def score(b: pa.Table) -> pa.Table:
-        from ..functions.text import gather_into_scratch
-        texts = np.asarray(b.column("text"), dtype=object)
-        h, offs = char_trigram_buckets(texts)
-        lp = ray.get(ref)
-        # gather into per-worker scratch: a fresh lp[h] is ~100 MB/batch
-        # of first-touch pages (see char_trigram_buckets on why that is
-        # the dominant cost on this VM)
-        g = gather_into_scratch(lp, h, "lmg")
-        s = segment_sums(g, offs)
-        t = np.diff(offs)
-        bits = np.where(t > 0, -s / np.maximum(t, 1), 0.0)
+
+def _lm_score_arrays(b: pa.Table, lp: np.ndarray):
+    """Scoring kernel of the CCNet LM score (see q_doc_lm_score §2):
+    (n_trigrams, bits_per_trigram) arrays for one batch, bit-identical
+    at any batching (segment_sums is a per-doc independent reduceat)."""
+    from ..functions.text import (char_trigram_buckets,
+                                  gather_into_scratch, segment_sums)
+    texts = np.asarray(b.column("text"), dtype=object)
+    h, offs = char_trigram_buckets(texts)
+    # gather into per-worker scratch: a fresh lp[h] is ~100 MB/batch
+    # of first-touch pages (see char_trigram_buckets on why that is
+    # the dominant cost on this VM)
+    g = gather_into_scratch(lp, h, "lmg")
+    s = segment_sums(g, offs)
+    t = np.diff(offs)
+    bits = np.where(t > 0, -s / np.maximum(t, 1), 0.0)
+    return t, bits
+
+
+# CCNet head/middle/tail: 2^12 fixed-point steps per bit bounds the
+# per-lang histogram at (score range in bits)·4096 rows — metadata-scale
+# at any corpus size — while keeping bucket assignment deterministic
+# (thresholds and scores quantize with the same rule).
+PPL_QUANT = 4096
+
+
+def q_doc_ppl_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (SURVEY X62; Wenzek et al. 2020 §4.3):
+    split each language's documents into head / middle / tail thirds by
+    LM score (lower bits-per-trigram = more fluent = head) — the
+    standard corpus-quality tiering that downstream mixes sample from.
+
+    Three passes, all bounded: (1) the shared trigram model build
+    (`_lm_logp`); (2) scores quantized to int64 fixed-point feed a
+    per-(lang, q) partial-count histogram — the X56 exact-histogram-
+    quantile pattern, driver table ≤ #langs × score-range·4096 rows —
+    from which the 1/3 and 2/3 rank thresholds are read; (3) a scoring
+    pass re-derives each doc's quantized score (bit-identical — same
+    kernel, same broadcast table) and assigns its bucket by comparing
+    against the broadcast per-lang thresholds. Documents never shuffle.
+    Rows-only for the driver (LM scores have no SQL twin); twin/balance
+    tests pin the semantics."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    lp_ref = ray.put(_lm_logp(ds))
+
+    def hist_partial(b: pa.Table) -> pd.DataFrame:
+        _, bits = _lm_score_arrays(b, ray.get(lp_ref))
+        q = np.floor(bits * PPL_QUANT).astype(np.int64)
+        out = (pd.DataFrame({"lang": np.asarray(b.column("lang"),
+                                                dtype=object), "q": q})
+               .groupby(["lang", "q"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=BATCH)
+            .groupby(["lang", "q"]).sum("n").to_pandas()
+            .rename(columns={"sum(n)": "n"})
+            .sort_values(["lang", "q"]))
+    thr: dict[str, tuple[int, int]] = {}
+    for lang, g in hist.groupby("lang", sort=False):
+        qv = g["q"].to_numpy(np.int64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        r1 = max(1, int(np.ceil(n / 3)))
+        r2 = max(1, int(np.ceil(2 * n / 3)))
+        thr[lang] = (int(qv[np.searchsorted(cum, r1)]),
+                     int(qv[np.searchsorted(cum, r2)]))
+    langs_sorted = np.array(sorted(thr), dtype=object)
+    t1 = np.array([thr[lg][0] for lg in langs_sorted], np.int64)
+    t2 = np.array([thr[lg][1] for lg in langs_sorted], np.int64)
+    thr_ref = ray.put((langs_sorted, t1, t2))
+
+    def assign(b: pa.Table) -> pa.Table:
+        _, bits = _lm_score_arrays(b, ray.get(lp_ref))
+        q = np.floor(bits * PPL_QUANT).astype(np.int64)
+        lgs, a1, a2 = ray.get(thr_ref)
+        pos = np.searchsorted(lgs, np.asarray(b.column("lang"),
+                                              dtype=object))
+        bucket = np.where(q <= a1[pos], "head",
+                          np.where(q <= a2[pos], "middle", "tail"))
         return pa.table({"doc_id": b.column("doc_id"),
-                         "n_trigrams": pa.array(t, pa.int64()),
-                         "bits_per_trigram": pa.array(bits, pa.float64())})
+                         "lang": b.column("lang"),
+                         "ppl_bucket": pa.array(bucket.astype(object),
+                                                pa.string())})
 
-    return ds.map_batches(score, batch_format="pyarrow", batch_size=BATCH)
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=BATCH)
 
 
 # --------------------------------------------- DSIR importance selection
@@ -759,7 +844,8 @@ INVIDX_BUCKETS = 32
 
 
 def inverted_index_build(sf_dir: str, n_buckets: int = INVIDX_BUCKETS,
-                         index_root: str | None = None) -> str:
+                         index_root: str | None = None,
+                         doc_mask=None, tag_suffix: str = "") -> str:
     """Build (idempotently) a distributed inverted index over the
     documents table: (term, doc_id, tf) posting rows, hive-partitioned
     by ``bucket = hash(term) % n_buckets`` so a term lookup reads ONLY
@@ -784,7 +870,7 @@ def inverted_index_build(sf_dir: str, n_buckets: int = INVIDX_BUCKETS,
     from ..functions.ann import _dataset_fingerprint
 
     src = f"{sf_dir}/documents.parquet"
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir)) + tag_suffix
     index_root = index_root or (
         f"/tmp/graft_invidx/{tag}_b{n_buckets}_{_dataset_fingerprint(src)}")
     marker = os.path.join(index_root, "_BUILT")
@@ -795,6 +881,9 @@ def inverted_index_build(sf_dir: str, n_buckets: int = INVIDX_BUCKETS,
     shutil.rmtree(tmp_root, ignore_errors=True)
 
     def postings(b: pa.Table) -> pa.Table:
+        if doc_mask is not None:
+            b = b.filter(pa.array(doc_mask(
+                np.asarray(b.column("doc_id"), np.int64))))
         toks, doc_of = _tokens_doc_idx(b)
         ids = np.asarray(b.column("doc_id"), np.int64)[doc_of]
         per = (pd.DataFrame({"term": toks, "doc_id": ids})
@@ -818,15 +907,17 @@ def inverted_index_build(sf_dir: str, n_buckets: int = INVIDX_BUCKETS,
 
 def term_postings(sf_dir: str, terms=PROBE_TERMS,
                   n_buckets: int = INVIDX_BUCKETS,
-                  stats: dict | None = None):
+                  stats: dict | None = None,
+                  index_root: str | None = None):
     """Posting lookup against the bucketed inverted index: compute the
     probe terms' buckets, read ONLY those ``bucket=K`` directories, and
     filter to the exact terms. Returns (term, doc_id, tf). Pass
     ``stats`` to capture how many of the index's buckets were read (the
-    pruned-read evidence, tested)."""
+    pruned-read evidence, tested). ``index_root`` probes an existing
+    index layout (the X61 merged generation) instead of building."""
     import os
 
-    root = inverted_index_build(sf_dir, n_buckets)
+    root = index_root or inverted_index_build(sf_dir, n_buckets)
     terms_arr = np.asarray(sorted(set(terms)), dtype=object)
     # NB: array mod, not per-scalar — np.uint64 scalar % python int
     # promotes through float64 and corrupts the bucket id
@@ -871,6 +962,109 @@ def _sql_term_postings(terms=PROBE_TERMS) -> str:
 WITH t AS (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents)
 SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
 FROM t WHERE term IN ({lst}) GROUP BY term, doc_id"""
+
+
+# ----------------------------------------- incremental index merge (LSM)
+IDXMERGE_SALT = "idxdelta:"
+IDXMERGE_MOD = 4          # every 4th doc (by salted md5) is the delta
+
+
+def _idx_delta_mask(ids: np.ndarray) -> np.ndarray:
+    h = md5_hash64(np.char.add(IDXMERGE_SALT, np.char.mod("%d", ids)))
+    return (h >> np.uint64(4)) % np.uint64(IDXMERGE_MOD) == 0
+
+
+def inverted_index_merge(sf_dir: str,
+                         n_buckets: int = INVIDX_BUCKETS) -> str:
+    """Incremental inverted-index maintenance (SURVEY X61): the
+    LSM-style merge every living corpus needs — a new crawl increment
+    arrives, its postings are folded into the served index WITHOUT
+    rebuilding from the full corpus (Lucene segment merging / LSM-tree
+    compaction, O'Neil et al. 1996). Deterministic split for the
+    fixture: every ``IDXMERGE_MOD``-th document (salted md5) is the
+    delta; the rest are the already-indexed base.
+
+    Merge = ONE slim bucketed shuffle over posting rows (term, doc_id,
+    tf): base postings stream straight from the base index's parquet
+    (never re-tokenized — the point of incrementality), the delta is
+    one tokenize pass over the delta docs only, and the per-bucket fold
+    re-sums tf by (term, doc_id) — correct under doc UPDATES too, not
+    just inserts, because a re-crawled doc's old and new postings meet
+    in the same bucket. Output layout is identical to the base index
+    (hive ``bucket=K``, atomic ``.tmp``→rename publish, fingerprinted
+    cache), so probes are layout-oblivious; the equality
+    "merged index ≡ full rebuild" is the driver-checked oracle
+    (`term_postings_merged` uses the SAME full-corpus SQL as
+    `term_postings`). At production scale only buckets whose delta is
+    non-empty need rewriting — here the whitespace vocab touches all
+    32, the general pruning is the ``bucket=`` layout itself."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..functions.ann import _dataset_fingerprint
+
+    src = f"{sf_dir}/documents.parquet"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_root = (f"/tmp/graft_invidx/{tag}_merged_b{n_buckets}_"
+                f"{_dataset_fingerprint(src)}")
+    marker = os.path.join(out_root, "_BUILT")
+    if os.path.exists(marker):
+        return out_root
+    base_root = inverted_index_build(
+        sf_dir, n_buckets, doc_mask=lambda ids: ~_idx_delta_mask(ids),
+        tag_suffix="_base")
+    shutil.rmtree(out_root, ignore_errors=True)
+    tmp_root = out_root + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    base = ray.data.read_parquet(
+        sorted(_glob.glob(os.path.join(base_root, "bucket=*", "*.parquet"))),
+        columns=["term", "doc_id", "tf"])
+
+    def delta_postings(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(_idx_delta_mask(
+            np.asarray(b.column("doc_id"), np.int64))))
+        toks, doc_of = _tokens_doc_idx(b)
+        ids = np.asarray(b.column("doc_id"), np.int64)[doc_of]
+        per = (pd.DataFrame({"term": toks, "doc_id": ids})
+               .groupby(["term", "doc_id"], sort=True).size()
+               .reset_index(name="tf"))
+        return pa.table({
+            "term": pa.array(per["term"].to_numpy(dtype=object),
+                             pa.string()),
+            "doc_id": pa.array(per["doc_id"].to_numpy(np.int64)),
+            "tf": pa.array(per["tf"].to_numpy(np.int64))})
+
+    delta = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        delta_postings, batch_format="pyarrow", batch_size=BATCH)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pandas().to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(terms) % n_buckets).astype(np.int32)
+        return b.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["term", "doc_id"], sort=True,
+                         as_index=False)["tf"].sum())
+        out["bucket"] = g["bucket"].iloc[0]
+        return out.astype({"tf": "int64"})
+
+    (coalesce_slim(base.union(delta).map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=65536))
+     .groupby("bucket").map_groups(fold, batch_format="pandas")
+     .write_parquet(tmp_root, partition_cols=["bucket"]))
+    with open(os.path.join(tmp_root, "_BUILT"), "w") as f:
+        f.write("ok")
+    os.rename(tmp_root, out_root)
+    return out_root
+
+
+def q_term_postings_merged(sf_dir: str):
+    """Probe the base+delta MERGED index; the oracle is the full-corpus
+    rebuild SQL — the merged generation must be indistinguishable."""
+    return term_postings(sf_dir,
+                         index_root=inverted_index_merge(sf_dir))
 
 
 # -------------------------------------- hashed-logreg quality classifier
@@ -1333,6 +1527,7 @@ GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())"""
 
 CURATION_QUERIES = {
     "term_postings": q_term_postings,
+    "term_postings_merged": q_term_postings_merged,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_topk": q_bm25_topk,
     "doc_repetition": q_doc_repetition,
@@ -1349,11 +1544,13 @@ CURATION_QUERIES = {
     "score_auc_eval": q_score_auc_eval,
     "quality_percentile_filter": q_quality_percentile_filter,
     "doc_lm_score": q_doc_lm_score,
+    "doc_ppl_buckets": q_doc_ppl_buckets,   # rows-only (LM score)
     "dsir_select": q_dsir_select,
 }
 
 CURATION_SQL = {
     "term_postings": _sql_term_postings(),
+    "term_postings_merged": _sql_term_postings(),
     "tfidf_top_terms": SQL_TFIDF,
     "bm25_topk": _sql_bm25(),
     "doc_repetition": SQL_REPETITION,

@@ -452,3 +452,40 @@ def test_corpus_rollup_reconciles(ray_session):
         f"SELECT count(*), sum(n_chars) FROM "
         f"read_parquet('{SF}/documents.parquet')").fetchone()
     assert tot["n_docs"].iloc[0] == n and tot["chars"].iloc[0] == c
+
+
+def test_index_merge_equals_full_rebuild(ray_session):
+    """The merged (base+delta) index generation is probe-for-probe
+    identical to the full-rebuild index, and the split is real (both
+    sides non-empty)."""
+    import numpy as np
+    got_m = to_pandas(cq.q_term_postings_merged(SF)) \
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    got_f = to_pandas(cq.q_term_postings(SF)) \
+        .sort_values(["term", "doc_id"]).reset_index(drop=True)
+    assert got_m.equals(got_f) and len(got_m) > 0
+    frac = cq._idx_delta_mask(np.arange(2000, dtype=np.int64)).mean()
+    assert 0.1 < frac < 0.5
+
+
+def test_ppl_buckets_balance_and_ordering(ray_session):
+    """Per language: buckets split ~1/3 each (histogram-quantile rank
+    rule), and every head doc scores strictly below every tail doc in
+    the same quantized units the thresholds use."""
+    import numpy as np
+    got = to_pandas(cq.q_doc_ppl_buckets(SF))
+    sc = to_pandas(cq.q_doc_lm_score(SF))
+    m = got.merge(sc, on="doc_id")
+    m["q"] = np.floor(m.bits_per_trigram * cq.PPL_QUANT).astype("int64")
+    assert set(m.ppl_bucket) == {"head", "middle", "tail"}
+    for lang, g in m.groupby("lang"):
+        counts = g.ppl_bucket.value_counts()
+        assert counts.max() - counts.min() <= max(3, len(g) // 10), lang
+        h = g[g.ppl_bucket == "head"]["q"]
+        t = g[g.ppl_bucket == "tail"]["q"]
+        if len(h) and len(t):
+            assert h.max() < t.min(), lang
+    # deterministic across runs
+    again = to_pandas(cq.q_doc_ppl_buckets(SF))
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True))
