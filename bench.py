@@ -216,6 +216,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
             _sh.rmtree(d, ignore_errors=True)
         timed("term_postings_merged",
               lambda: consume(cu.q_term_postings_merged(sf_dir)))
+        timed("embedding_label_stats",
+              lambda: consume(dq.q_embedding_label_stats(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

@@ -1286,6 +1286,66 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM toks GROUP BY doc_id"""
 
 
+# fixed-point step for exact embedding sums: float32 → double promotion
+# is exact on both sides, ·2^20 is an exponent shift (exact), floor is
+# floor — so the int64 partials are bit-identical to the SQL oracle's
+EMB_QUANT = 1 << 20
+
+
+def q_embedding_label_stats(sf_dir: str):
+    """Embedding drift / centroid monitor (SURVEY X64): per (label, dim)
+    — count and exact fixed-point coordinate sum, the sufficient
+    statistics for per-class centroids and between-snapshot drift checks
+    (an embedding-space data card; the monitor DataPerf-style eval
+    suites run per training slice). centroid = sum_q / (n · 2^20).
+
+    One streaming pass: each batch reshapes its list<float> column to an
+    (n, d) matrix ONCE (zero-copy flatten), quantizes, and scatter-adds
+    per present label — the partial is ≤ #labels × d rows regardless of
+    batch size; the final groupby is bounded the same way. Only int64
+    facts are emitted (float sums would differ from the oracle in
+    summation order)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        n = len(emb)
+        d = flat.size // max(n, 1)
+        q = np.floor(flat * EMB_QUANT).astype(np.int64).reshape(n, d)
+        labels = np.asarray(b.column("label"), np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                    len(uniq))),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+            "sum_q": pa.array(sums.ravel(), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=BATCH)
+            .groupby(["label", "dim"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_q", alias_name="sum_q")))
+
+
+SQL_EMB_STATS = f"""
+SELECT CAST(e.label AS BIGINT) AS label, t.i AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.embedding[t.i + 1] * {EMB_QUANT}.0)
+                AS BIGINT)) AS BIGINT) AS sum_q
+FROM embeddings e, LATERAL unnest(range(len(e.embedding))) AS t(i)
+GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------- embeddings
 def q_ann_topk(sf_dir: str):
     return ann.brute_force_topk(sf_dir, n_queries=10, k=10)
@@ -1421,6 +1481,7 @@ DOCS_QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "cosine_near_dup_ivf": q_cosine_near_dup_ivf,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_label_stats": q_embedding_label_stats,
     "binary_meta": q_binary_meta,
 }
 
@@ -1444,5 +1505,6 @@ DOCS_SQL = {
     "doc_substring_dup": _sql_substring_dup(),
     "ann_topk": SQL_ANN_TOPK,
     "cosine_near_dup": SQL_COSINE_NEAR_DUP,
+    "embedding_label_stats": SQL_EMB_STATS,
     # fingerprint / minhash / simhash / ivf: rows-only (non-SQL sketches)
 }
