@@ -218,6 +218,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(cu.q_term_postings_merged(sf_dir)))
         timed("embedding_label_stats",
               lambda: consume(dq.q_embedding_label_stats(sf_dir)))
+        timed("source_overlap_matrix",
+              lambda: consume(cu.q_source_overlap_matrix(sf_dir)))
         return times, meta
 
     # best-of-N passes in one warm session: per-query min (see module

@@ -651,34 +651,54 @@ def q_doc_ppl_buckets(sf_dir: str):
     LM score (lower bits-per-trigram = more fluent = head) — the
     standard corpus-quality tiering that downstream mixes sample from.
 
-    Three passes, all bounded: (1) the shared trigram model build
-    (`_lm_logp`); (2) scores quantized to int64 fixed-point feed a
-    per-(lang, q) partial-count histogram — the X56 exact-histogram-
-    quantile pattern, driver table ≤ #langs × score-range·4096 rows —
-    from which the 1/3 and 2/3 rank thresholds are read; (3) a scoring
-    pass re-derives each doc's quantized score (bit-identical — same
-    kernel, same broadcast table) and assigns its bucket by comparing
-    against the broadcast per-lang thresholds. Documents never shuffle.
+    Two trigram passes, all driver state bounded: (1) the shared
+    trigram model build (`_lm_logp`); (2) ONE scoring pass materializes
+    the slim (doc_id, lang, q) table — q the int64 fixed-point score —
+    which then serves BOTH the per-(lang, q) histogram (the X56
+    exact-histogram-quantile pattern, driver table ≤ #langs ×
+    score-range·4096 rows, yielding the 1/3 and 2/3 rank thresholds)
+    AND the final vectorized bucket assignment (text never re-read,
+    never re-scored; the slim table is 24 B/doc in the object store —
+    the politeness-sidecar discipline). Documents never shuffle.
     Rows-only for the driver (LM scores have no SQL twin); twin/balance
     tests pin the semantics."""
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
     lp_ref = ray.put(_lm_logp(ds))
 
-    def hist_partial(b: pa.Table) -> pd.DataFrame:
+    def score_slim(b: pa.Table) -> pa.Table:
         _, bits = _lm_score_arrays(b, ray.get(lp_ref))
-        q = np.floor(bits * PPL_QUANT).astype(np.int64)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "q": pa.array(np.floor(bits * PPL_QUANT)
+                                       .astype(np.int64))})
+
+    scored = ds.map_batches(score_slim, batch_format="pyarrow",
+                            batch_size=BATCH).materialize()
+
+    def hist_partial(b: pa.Table) -> pd.DataFrame:
         out = (pd.DataFrame({"lang": np.asarray(b.column("lang"),
-                                                dtype=object), "q": q})
+                                                dtype=object),
+                             "q": np.asarray(b.column("q"), np.int64)})
                .groupby(["lang", "q"], sort=False).size()
                .reset_index(name="n"))
         out["n"] = out["n"].astype("int64")
         return out
 
-    hist = (ds.map_batches(hist_partial, batch_format="pyarrow",
-                           batch_size=BATCH)
-            .groupby(["lang", "q"]).sum("n").to_pandas()
-            .rename(columns={"sum(n)": "n"})
-            .sort_values(["lang", "q"]))
+    def hist_combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["lang", "q"], sort=False, as_index=False)
+                ["n"].sum())
+
+    # no shuffle: per-block partials → one combine level → driver fold
+    # (≤ #langs × score-range·4096 rows — the _lm_logp discipline; a
+    # Ray sort-aggregate here billed ~5 s of fixed shuffle cost to a
+    # metadata-scale table)
+    hist = (scored.map_batches(hist_partial, batch_format="pyarrow",
+                               batch_size=1 << 16)
+            .map_batches(hist_combine, batch_format="pandas",
+                         batch_size=1 << 20)
+            .to_pandas())
+    hist = (hist.groupby(["lang", "q"], sort=False, as_index=False)
+            ["n"].sum().sort_values(["lang", "q"]))
     thr: dict[str, tuple[int, int]] = {}
     for lang, g in hist.groupby("lang", sort=False):
         qv = g["q"].to_numpy(np.int64)
@@ -694,8 +714,7 @@ def q_doc_ppl_buckets(sf_dir: str):
     thr_ref = ray.put((langs_sorted, t1, t2))
 
     def assign(b: pa.Table) -> pa.Table:
-        _, bits = _lm_score_arrays(b, ray.get(lp_ref))
-        q = np.floor(bits * PPL_QUANT).astype(np.int64)
+        q = np.asarray(b.column("q"), np.int64)
         lgs, a1, a2 = ray.get(thr_ref)
         pos = np.searchsorted(lgs, np.asarray(b.column("lang"),
                                               dtype=object))
@@ -706,8 +725,8 @@ def q_doc_ppl_buckets(sf_dir: str):
                          "ppl_bucket": pa.array(bucket.astype(object),
                                                 pa.string())})
 
-    return ds.map_batches(assign, batch_format="pyarrow",
-                          batch_size=BATCH)
+    return scored.map_batches(assign, batch_format="pyarrow",
+                              batch_size=1 << 16)
 
 
 # --------------------------------------------- DSIR importance selection
@@ -1475,6 +1494,71 @@ c AS (
 SELECT doc_id, n_chars FROM c, tot WHERE cum <= b"""
 
 
+# ------------------------------------- cross-source n-gram overlap matrix
+def q_source_overlap_matrix(sf_dir: str, n: int = DECON_NGRAM,
+                            n_buckets: int = 64):
+    """Cross-source overlap matrix (SURVEY X65): for every source pair,
+    how many DISTINCT token n-grams appear in both — the provenance
+    contamination report a multi-source corpus needs before mixing
+    (Lee et al. 2022's cross-split overlap measure at source grain:
+    shared text inflates a source's apparent contribution and leaks
+    across source-keyed train/valid splits, X53).
+
+    The X45 mirror-host shape on (gram, source): per-batch DISTINCT
+    (md5-64(gram), source) partials → ONE gram-bucketed slim shuffle (a
+    gram never spans buckets; cross-batch duplicates collapse in the
+    fold) → per-gram source-pair emission (≤ C(#sources, 2) rows per
+    gram — bounded) → final groupby bounded by #sources². Gram strings
+    never shuffle — 64-bit hashes stand in for string equality (the
+    `_gram_hashes` collision bound)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, doc_of = _gram_hashes(b, n)
+        src = np.asarray(b.column("source"), dtype=object)[doc_of]
+        d = pd.DataFrame({"h": h.astype(np.int64), "source": src}
+                         ).drop_duplicates()
+        hv = d["h"].to_numpy(np.int64)
+        return pa.table({
+            "h": pa.array(hv),
+            "source": pa.array(d["source"].to_numpy(dtype=object),
+                               pa.string()),
+            "bucket": pa.array((hv.astype(np.uint64)
+                                % np.uint64(n_buckets)).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["h", "source"])
+        m = d.merge(d, on="h")
+        m = m[m["source_x"] < m["source_y"]]
+        out = (m.groupby(["source_x", "source_y"], sort=False)
+               .size().reset_index(name="n_shared"))
+        return pd.DataFrame({
+            "source_a": out["source_x"],
+            "source_b": out["source_y"],
+            "n_shared": out["n_shared"].astype("int64")})
+
+    return (coalesce_slim(ds.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=BATCH))
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n_shared", alias_name="n_shared")))
+
+
+def _sql_source_overlap() -> str:
+    n = DECON_NGRAM
+    concat = " || ' ' || ".join(f"d.toks[t.i + {j}]" for j in range(n))
+    return f"""
+WITH d AS (SELECT source, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT DISTINCT source, {concat} AS gram
+      FROM d, LATERAL unnest(range(1, len(d.toks) - {n - 2})) AS t(i))
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2"""
+
+
 # ------------------------------------------------ rollup cube (source×lang)
 def q_corpus_rollup(sf_dir: str):
     """Multi-level corpus rollup (SURVEY X60): doc and char volumes at
@@ -1539,6 +1623,7 @@ CURATION_QUERIES = {
     "doc_quality_classifier": q_doc_quality_classifier,
     "source_data_card": q_source_data_card,
     "corpus_rollup": q_corpus_rollup,
+    "source_overlap_matrix": q_source_overlap_matrix,
     "train_valid_split": q_train_valid_split,
     "corpus_budget_trim": q_corpus_budget_trim,
     "score_auc_eval": q_score_auc_eval,
@@ -1561,6 +1646,7 @@ CURATION_SQL = {
     "lang_temperature_sample": SQL_LANG_TEMP,
     "source_data_card": SQL_DATA_CARD,
     "corpus_rollup": SQL_ROLLUP,
+    "source_overlap_matrix": _sql_source_overlap(),
     "train_valid_split": SQL_SPLIT,
     "corpus_budget_trim": SQL_BUDGET_TRIM,
     "score_auc_eval": SQL_AUC,

@@ -1105,7 +1105,8 @@ PMI_MIN_N = 4
 
 
 def q_pmi_collocations(sf_dir: str, min_n: int = PMI_MIN_N,
-                       n_buckets: int = 64):
+                       n_buckets: int = 64,
+                       join_threshold: int = 1 << 20):
     """PMI collocation extraction (SURVEY X58): every adjacent-token
     bigram seen ≥ ``min_n`` times, with the exact corpus counts PMI
     needs — (w1, w2, n_pair, n_w1, n_w2); the score itself,
@@ -1113,13 +1114,17 @@ def q_pmi_collocations(sf_dir: str, min_n: int = PMI_MIN_N,
     of these integers, so only exact int64 facts are emitted and the
     oracle hash-matches (the module-header float discipline).
 
-    Shape: the bigram and unigram totals are two bucketed exact folds
-    (the top_bigrams pattern — per-batch Arrow/pandas partial counts,
-    a gram never spans buckets); the support filter shrinks the pair
-    table BEFORE the two native hash joins that attach each word's
-    unigram count. Everything stays a distributed Dataset — at corpus
-    scale the collocation table is vocabulary-sized, never
-    driver-resident."""
+    Shape: ONE tokenize pass emits both the bigram and the unigram
+    partial counts into a shared slim table (tag ``is_pair``; pairs
+    bucket by gram hash, words by word hash — each key class never
+    spans its buckets, so the single bucketed fold yields exact totals
+    for both). The support filter shrinks the pair table, then a
+    COUNTED THRESHOLD SWITCH (the X2/X27 discipline) attaches unigram
+    counts: below ``join_threshold`` collocations the pair table
+    collects and the unigram side is semi-filtered to the pair
+    vocabulary before a driver merge (two broadcast-filter passes, no
+    join shuffle); above it, two native distributed hash joins. Both
+    branches asserted equal in tests."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     cpus = int(ray.cluster_resources().get("CPU", 4)) \
         if ray.is_initialized() else 4
@@ -1128,59 +1133,96 @@ def q_pmi_collocations(sf_dir: str, min_n: int = PMI_MIN_N,
     empty_b = pa.table({"w1": pa.array([], pa.string()),
                         "w2": pa.array([], pa.string()),
                         "n": pa.array([], pa.int64()),
+                        "is_pair": pa.array([], pa.int8()),
                         "bucket": pa.array([], pa.int32())})
 
-    def bigram_partial(b: pa.Table) -> pa.Table:
+    def partial(b: pa.Table) -> pa.Table:
         toks, doc_of = _toks_docof(b)
-        if len(toks) < 2:
+        if len(toks) == 0:
             return empty_b
+        vc = pd.Series(toks).value_counts()
+        words = vc.index.to_numpy(dtype=object)
+        wb = (pd.util.hash_array(words) % n_buckets).astype(np.int32)
+        uni = pa.table({"w1": pa.array(words, pa.string()),
+                        "w2": pa.array(np.full(len(words), "",
+                                               dtype=object), pa.string()),
+                        "n": pa.array(vc.to_numpy(np.int64)),
+                        "is_pair": pa.array(
+                            np.zeros(len(words), np.int8)),
+                        "bucket": pa.array(wb, pa.int32())})
+        if len(toks) < 2:
+            return uni
         adj = doc_of[:-1] == doc_of[1:]
         per = (pd.DataFrame({"w1": toks[:-1][adj], "w2": toks[1:][adj]})
                .groupby(["w1", "w2"], sort=False).size()
                .reset_index(name="n"))
         grams = (per["w1"] + " " + per["w2"]).to_numpy(dtype=object)
-        bucket = (pd.util.hash_array(grams) % n_buckets).astype(np.int32)
-        return pa.table({"w1": pa.array(per["w1"], pa.string()),
-                         "w2": pa.array(per["w2"], pa.string()),
-                         "n": pa.array(per["n"].to_numpy(np.int64)),
-                         "bucket": pa.array(bucket, pa.int32())})
+        gb = (pd.util.hash_array(grams) % n_buckets).astype(np.int32)
+        big = pa.table({"w1": pa.array(per["w1"], pa.string()),
+                        "w2": pa.array(per["w2"], pa.string()),
+                        "n": pa.array(per["n"].to_numpy(np.int64)),
+                        "is_pair": pa.array(np.ones(len(per), np.int8)),
+                        "bucket": pa.array(gb, pa.int32())})
+        return pa.concat_tables([uni, big])
 
-    def bigram_fold(g: pd.DataFrame) -> pd.DataFrame:
-        tot = (g.groupby(["w1", "w2"], sort=False, as_index=False)["n"]
-               .sum())
-        tot = tot[tot["n"] >= min_n]
-        tot["n_pair"] = tot["n"].astype("int64")
-        return tot[["w1", "w2", "n_pair"]]
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (g.groupby(["w1", "w2", "is_pair"], sort=False,
+                         as_index=False)["n"].sum())
+        tot = tot[(tot["is_pair"] == 0) | (tot["n"] >= min_n)]
+        tot["n"] = tot["n"].astype("int64")
+        return tot[["w1", "w2", "is_pair", "n"]]
 
-    pairs = (coalesce_slim(ds.map_batches(bigram_partial,
-                                          batch_format="pyarrow",
-                                          batch_size=BATCH))
-             .groupby("bucket").map_groups(bigram_fold,
-                                           batch_format="pandas"))
+    totals = (coalesce_slim(ds.map_batches(partial,
+                                           batch_format="pyarrow",
+                                           batch_size=BATCH))
+              .groupby("bucket").map_groups(fold, batch_format="pandas")
+              .materialize())
+    pairs = totals.filter(expr="is_pair == 1")
+    uni = totals.filter(expr="is_pair == 0")
+    n_pairs = pairs.count()
+    if n_pairs <= join_threshold:
+        # small collocation table: driver merge, unigram side
+        # semi-filtered to the pair vocabulary (never the full vocab)
+        pdf = pairs.select_columns(["w1", "w2", "n"]).to_pandas()
+        vocab = np.unique(np.concatenate([
+            pdf["w1"].to_numpy(dtype=object),
+            pdf["w2"].to_numpy(dtype=object)])) if len(pdf) else \
+            np.empty(0, object)
+        vref = ray.put(vocab)
 
-    def uni_partial(b: pa.Table) -> pa.Table:
-        toks, _ = _toks_docof(b)
-        vc = pd.Series(toks).value_counts()
-        words = vc.index.to_numpy(dtype=object)
-        bucket = (pd.util.hash_array(words) % n_buckets).astype(np.int32)
-        return pa.table({"w": pa.array(words, pa.string()),
-                         "n": pa.array(vc.to_numpy(np.int64)),
-                         "bucket": pa.array(bucket, pa.int32())})
+        def in_vocab(b: pa.Table) -> pa.Table:
+            want = ray.get(vref)
+            w = np.asarray(b.column("w1"), dtype=object)
+            pos = np.minimum(np.searchsorted(want, w),
+                             max(len(want) - 1, 0))
+            keep = want[pos] == w if len(want) else \
+                np.zeros(len(w), bool)
+            return b.filter(pa.array(keep)).select(["w1", "n"])
 
-    def uni_fold(col: str):
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
-            tot = g.groupby("w", sort=False, as_index=False)["n"].sum()
-            return pd.DataFrame({col.replace("n_", ""): tot["w"],
-                                 col: tot["n"].astype("int64")})
-        return fold
+        udf = uni.map_batches(in_vocab, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+        cnt = dict(zip(udf["w1"], udf["n"].astype("int64")))
+        out = pd.DataFrame({
+            "w1": pdf["w1"], "w2": pdf["w2"],
+            "n_pair": pdf["n"].astype("int64"),
+            "n_w1": pdf["w1"].map(cnt).astype("int64"),
+            "n_w2": pdf["w2"].map(cnt).astype("int64")})
+        return out
 
-    uni = coalesce_slim(ds.map_batches(uni_partial, batch_format="pyarrow",
-                                       batch_size=BATCH))
-    u1 = uni.groupby("bucket").map_groups(uni_fold("n_w1"),
-                                          batch_format="pandas")
-    u2 = uni.groupby("bucket").map_groups(uni_fold("n_w2"),
-                                          batch_format="pandas")
-    j = pairs.join(u1, join_type="inner", num_partitions=npart, on=("w1",))
+    def as_pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"w1": b.column("w1"), "w2": b.column("w2"),
+                         "n_pair": b.column("n")})
+
+    def as_uni(col: str):
+        def conv(b: pa.Table) -> pa.Table:
+            return pa.table({col.replace("n_", ""): b.column("w1"),
+                             col: b.column("n")})
+        return conv
+
+    p = pairs.map_batches(as_pairs, batch_format="pyarrow")
+    u1 = uni.map_batches(as_uni("n_w1"), batch_format="pyarrow")
+    u2 = uni.map_batches(as_uni("n_w2"), batch_format="pyarrow")
+    j = p.join(u1, join_type="inner", num_partitions=npart, on=("w1",))
     return j.join(u2, join_type="inner", num_partitions=npart, on=("w2",))
 
 

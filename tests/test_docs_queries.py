@@ -584,3 +584,16 @@ def test_vocab_oov_boundary_tiebreak(ray_session, tmp_path):
     assert got.loc[0, "n_oov"] == 0 and got.loc[1, "n_oov"] == 0
     assert got.loc[2, "n_oov"] == 2 and got.loc[3, "n_oov"] == 2
     assert (got["n_tokens"] == 2).all() and 4 not in got.index
+
+
+def test_pmi_branches_equal(ray_session):
+    """The counted threshold switch: the driver-merge branch and the
+    distributed two-join branch produce identical collocation tables."""
+    a = to_pandas(dq.q_pmi_collocations(SF)) \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    b = to_pandas(dq.q_pmi_collocations(SF, join_threshold=0)) \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)[a.columns]
+    for c in ("n_pair", "n_w1", "n_w2"):
+        a[c] = a[c].astype("int64")
+        b[c] = b[c].astype("int64")
+    assert len(a) > 0 and a.equals(b)
