@@ -69,6 +69,9 @@ _FRONTIER_QUERIES = {
     "crawl_trap_score": _fq.q_crawl_trap_score,
     "mirror_hosts": _fq.q_mirror_hosts,
     "snapshot_compact": _fq.q_snapshot_compact,
+    "url_surt_key": _fq.q_url_surt_key,
+    "cdx_prefix_lookup": _fq.q_cdx_prefix_lookup,
+    "url_features": _fq.q_url_features,
 }
 
 

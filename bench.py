@@ -162,6 +162,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(lq.q_inlink_anchor_topk(sf_dir)))
         timed("url_pattern_mine",
               lambda: consume(fq.q_url_pattern_mine(sf_dir)))
+        # round 5h: SURT/CDX family — the index build is fingerprint-
+        # cached, so pass 1 pays build+lookup and the per-query min
+        # reflects the cached-index lookup (the term_postings treatment)
+        timed("url_surt_key",
+              lambda: consume(fq.q_url_surt_key(sf_dir)))
+        timed("cdx_prefix_lookup",
+              lambda: consume(fq.q_cdx_prefix_lookup(sf_dir)))
+        timed("url_features",
+              lambda: consume(fq.q_url_features(sf_dir)))
         timed("dsir_select", lambda: consume(cu.q_dsir_select(sf_dir)))
         timed("recrawl_priority",
               lambda: consume(fq.q_recrawl_priority(sf_dir)))

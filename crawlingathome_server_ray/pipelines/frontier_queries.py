@@ -1031,3 +1031,173 @@ r AS (SELECT url, warc_ts, side,
                AS rn
       FROM u)
 SELECT url, warc_ts, side FROM r WHERE rn = 1"""
+
+
+# --------------------------------------------------- SURT / CDX (X66-X68)
+CDX_BUCKETS = 64
+CDX_PROBE_K = 3
+
+
+def _with_surt(b: pa.Table) -> pa.Table:
+    from ..functions.surt import surt_array
+    return b.append_column("surt",
+                           surt_array(b.column("url_canon"), b.column("host")))
+
+
+def q_url_surt_key(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """SURT key + per-host CDX ordinal over the deduped frontier (X66).
+
+    surt = reversed comma-joined host labels + ')' + lowercased
+    path+query (the public CommonCrawl/pywb CDXJ sort key); cdx_pos =
+    1-based position within the host's captures ordered by (surt,
+    url_canon) — the index order a CDX shard stores. The ranking reuses
+    the politeness machinery: ONE bucketed groupby (hash(host) % 256,
+    whole hosts per bucket) with an Arrow-native sort + boundary-diff
+    rank inside each bucket — no per-host dispatch, no pandas object
+    round-trip, same skew story as O5 (stages/politeness.py).
+    Reference analog: none (the reference serves shard numbers, not a
+    URL index); SQL-oracled."""
+    import pyarrow.compute as pc
+
+    slim = core.dedup_survivors(_slim(sf_dir, cfg)) \
+        .select_columns(["url_canon", "host"]) \
+        .map_batches(_with_surt, batch_format="pyarrow")
+    ranked = politeness_ranked(slim, budget=1, order=("surt", "url_canon"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        pos = b.column("politeness_rank").cast(pa.int64())
+        return (b.drop_columns(["politeness_rank", "fetch_round"])
+                .append_column("cdx_pos", pos)
+                .select(["host", "url_canon", "surt", "cdx_pos"]))
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def cdx_index_build(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                    n_buckets: int = CDX_BUCKETS) -> str:
+    """Build (idempotently) a CDX-style capture index over the deduped
+    frontier: rows (host, surt, url_canon, ts_us) hive-partitioned by
+    ``bucket = hash(host) % n_buckets`` with every fragment sorted by
+    surt — the partition-pruned lookup layout of the inverted index
+    (curation_queries.inverted_index_build) applied to the crawl's URL
+    index. A domain/prefix query reads ONLY its hosts' buckets. Build is
+    one streaming pass (the hive write IS the partitioning, no shuffle);
+    crash-safe .tmp → atomic rename, fingerprint-keyed cache
+    (functions/ann.ivf_build precedent).
+
+    At 10^10 URLs the real layout would range-partition on surt itself
+    (CommonCrawl's cdx-*.gz shards are surt-sorted ranges); the hash
+    layout keeps the fixture's 549-host universe balanced while
+    exercising the same pruned-read path."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    root = (f"/tmp/graft_cdx/{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_b{n_buckets}_{core.tree_fingerprint(core.pages_path(sf_dir))}")
+    marker = os.path.join(root, "_BUILT")
+    if os.path.exists(marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    tmp_root = root + ".tmp"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = _with_surt(b)
+        hosts = b.column("host")
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        bucket = (pd.util.hash_array(hosts.to_pandas().to_numpy(dtype=object))
+                  % n_buckets).astype(np.int32)
+        t = pa.table({"host": hosts, "surt": b.column("surt"),
+                      "url_canon": b.column("url_canon"),
+                      "ts_us": b.column("warc_ts").cast(pa.int64()),
+                      "bucket": pa.array(bucket, pa.int32())})
+        return t.take(pc.sort_indices(t, sort_keys=[("surt", "ascending")]))
+
+    (core.dedup_survivors(_slim(sf_dir, cfg))
+     .map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+     .write_parquet(tmp_root, partition_cols=["bucket"]))
+    with open(os.path.join(tmp_root, "_BUILT"), "w") as f:
+        f.write("ok")
+    os.rename(tmp_root, root)  # atomic publish
+    return root
+
+
+def _probe_hosts(sf_dir: str, cfg: PipelineConfig, k: int) -> list[str]:
+    """The k lexicographically-smallest hosts — the deterministic CDX
+    domain probes. Driver state is one string per distinct host
+    (bounded by #hosts, the recrawl_priority precedent), shrunk to the
+    running min-k as batches stream."""
+    import heapq
+
+    import pyarrow.compute as pc
+
+    parts = _slim(sf_dir, cfg).select_columns(["host"]).map_batches(
+        lambda t: pa.table({"host": pc.unique(t.column("host").combine_chunks()
+                                              if isinstance(t.column("host"),
+                                                            pa.ChunkedArray)
+                                              else t.column("host"))}),
+        batch_format="pyarrow")
+    top: list[str] = []   # max-heap of negated? strings — use nlargest trick
+    seen: set[str] = set()
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        seen.update(b.column("host").to_pylist())
+        if len(seen) > 16 * k:
+            seen = set(heapq.nsmallest(k, seen))
+    return sorted(heapq.nsmallest(k, seen))
+
+
+def q_cdx_prefix_lookup(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        k: int = CDX_PROBE_K,
+                        n_buckets: int = CDX_BUCKETS,
+                        stats: dict | None = None):
+    """CDX domain lookup (X67): all captures of the k smallest hosts,
+    served from the bucketed CDX index with a PRUNED read — only the
+    probe hosts' ``bucket=`` directories are opened (≤ k of n_buckets;
+    ``stats`` records how many, tested). Output (host, surt, url_canon,
+    ts_us) — the CDXJ line fields. SQL-oracled via a semi-join on the
+    same probe rule."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    root = cdx_index_build(sf_dir, cfg, n_buckets)
+    probes = _probe_hosts(sf_dir, cfg, k)
+    buckets = sorted(set(
+        (pd.util.hash_array(np.asarray(probes, dtype=object))
+         % np.uint64(n_buckets)).astype(np.int64).tolist()))
+    if stats is not None:
+        stats["buckets_read"] = len(buckets)
+        stats["buckets_total"] = len(
+            [d for d in os.listdir(root) if d.startswith("bucket=")])
+    import glob as _glob
+    paths = [f for b in buckets
+             for f in sorted(_glob.glob(
+                 os.path.join(root, f"bucket={b}", "*.parquet")))]
+    probe_arr = pa.array(probes, pa.string())
+
+    def only_probes(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("host"), value_set=probe_arr)) \
+            .select(["host", "surt", "url_canon", "ts_us"])
+
+    return ray.data.read_parquet(paths).map_batches(
+        only_probes, batch_format="pyarrow")
+
+
+def q_url_features(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Frontier URL feature extraction (X68): path depth, query-param
+    count, extension token per deduped canonical URL — the cheap
+    vectorized features a frontier prioritizer feeds on (crawl-depth
+    caps, asset filtering, param-explosion traps). One Arrow pass
+    (functions/surt.url_features_table); SQL-oracled."""
+    from ..functions.surt import url_features_table
+
+    return core.dedup_survivors(_slim(sf_dir, cfg)) \
+        .select_columns(["url_canon"]) \
+        .map_batches(lambda b: url_features_table(b.column("url_canon")),
+                     batch_format="pyarrow")

@@ -53,7 +53,8 @@ def frontier_oracle_sql(pages_path: str = PAGES_SF001,
                         budget: int = DEFAULT_CONFIG.politeness_budget,
                         seed: int = DEFAULT_CONFIG.seed,
                         recrawl_k: int = 100,
-                        pattern_k: int = 3) -> dict[str, str]:
+                        pattern_k: int = 3,
+                        cdx_k: int = 3) -> dict[str, str]:
     cte = _CTE.format(pages=pages_path)
     return {
         "url_canonicalize": cte + """
@@ -118,4 +119,43 @@ SELECT host, seg, n,
        row_number() OVER (PARTITION BY host
                           ORDER BY n DESC, seg) AS seg_rank
 FROM segs QUALIFY seg_rank <= {pattern_k}""",
+
+        # SURT / CDX family (X66-X68): surted CTE computes the public
+        # CommonCrawl/pywb CDXJ sort key entirely in ANSI SQL
+        "url_surt_key": cte + r""", surted AS (
+  SELECT host, url_canon,
+    array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+      lower(regexp_replace(url_canon, '^[a-z]+://[^/?#]*', '')) AS surt
+  FROM dedup)
+SELECT host, url_canon, surt,
+       row_number() OVER (PARTITION BY host
+                          ORDER BY surt, url_canon) AS cdx_pos
+FROM surted""",
+
+        "cdx_prefix_lookup": cte + rf""", surted AS (
+  SELECT host, url_canon, CAST(epoch_us(warc_ts) AS BIGINT) AS ts_us,
+    array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+      lower(regexp_replace(url_canon, '^[a-z]+://[^/?#]*', '')) AS surt
+  FROM dedup)
+SELECT host, surt, url_canon, ts_us FROM surted
+WHERE host IN (SELECT DISTINCT host FROM dedup ORDER BY host LIMIT {cdx_k})""",
+
+        "url_features": cte + r""", pq AS (
+  SELECT url_canon,
+         regexp_replace(url_canon, '^[a-z]+://[^/?#]*', '') AS path_full
+  FROM dedup), f AS (
+  SELECT url_canon,
+         regexp_extract(path_full, '^([^?]*)', 1) AS path_only,
+         CASE WHEN strpos(path_full, '?') > 0
+              THEN substr(path_full, strpos(path_full, '?') + 1)
+              ELSE '' END AS q
+  FROM pq)
+SELECT url_canon,
+  CAST(length(path_only) - length(replace(path_only, '/', '')) AS BIGINT)
+    AS path_depth,
+  CAST(CASE WHEN q = '' THEN 0
+       ELSE length(q) - length(replace(q, '&', '')) + 1 END AS BIGINT)
+    AS n_params,
+  lower(regexp_extract(path_only, '\.([A-Za-z0-9]+)$', 1)) AS ext
+FROM f""",
     }

@@ -20,6 +20,9 @@ QUERIES = {
     "host_heavy_hitters": fq.q_host_heavy_hitters,
     "recrawl_priority": fq.q_recrawl_priority,
     "url_pattern_mine": fq.q_url_pattern_mine,
+    "url_surt_key": fq.q_url_surt_key,
+    "cdx_prefix_lookup": fq.q_cdx_prefix_lookup,
+    "url_features": fq.q_url_features,
 }
 
 
@@ -305,3 +308,56 @@ def test_snapshot_compact_planted_tiebreaks(ray_session, tmp_path):
     sql = fq.sql_snapshot_compact(a, b)
     assert_frames_match(df.reset_index(), duckdb.sql(sql).df(),
                         "snapshot_compact_planted")
+
+
+def test_surt_kernel_matches_scalar_twin():
+    """surt_array ≡ the per-row python twin on edge shapes: multi-label
+    hosts, single label, uppercase path, query strings, root path."""
+    import pyarrow as pa
+
+    from crawlingathome_server_ray.functions.surt import surt_array, surt_str
+
+    cases = [
+        ("http://h1.crawl-test.org/docs/0/Doc1.HTML?id=1&z=2",
+         "h1.crawl-test.org"),
+        ("https://localhost/", "localhost"),
+        ("http://a.b.c.d.example.com/P/Q.jpg", "a.b.c.d.example.com"),
+        ("https://x.y/private/%41bc", "x.y"),
+    ]
+    urls = pa.array([u for u, _ in cases])
+    hosts = pa.array([h for _, h in cases])
+    got = surt_array(urls, hosts).to_pylist()
+    want = [surt_str(u, h) for u, h in cases]
+    assert got == want
+    assert got[0] == "org,crawl-test,h1)/docs/0/doc1.html?id=1&z=2"
+
+
+def test_cdx_lookup_reads_only_probe_buckets(ray_session):
+    """The CDX domain lookup must open only the probe hosts' bucket
+    directories (partition pruning), and the pruned result must equal a
+    full-index scan filtered to the same hosts."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from crawlingathome_server_ray.pipelines.frontier_queries import (
+        cdx_index_build, CDX_BUCKETS)
+
+    stats = {}
+    pruned = (fq.q_cdx_prefix_lookup(SF, stats=stats).to_pandas()
+              .sort_values(["surt", "url_canon"]).reset_index(drop=True))
+    assert 0 < stats["buckets_read"] <= 3
+    assert stats["buckets_read"] < stats["buckets_total"] <= CDX_BUCKETS
+
+    import glob
+    root = cdx_index_build(SF)
+    all_paths = sorted(glob.glob(f"{root}/bucket=*/*.parquet"))
+    probes = sorted(pruned["host"].unique())
+    full = ray.data.read_parquet(all_paths).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("host"),
+                                    value_set=pa.array(probes)))
+        .select(["host", "surt", "url_canon", "ts_us"]),
+        batch_format="pyarrow").to_pandas() \
+        .sort_values(["surt", "url_canon"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pruned, full[pruned.columns.tolist()])
