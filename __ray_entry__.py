@@ -72,6 +72,7 @@ _FRONTIER_QUERIES = {
     "url_surt_key": _fq.q_url_surt_key,
     "cdx_prefix_lookup": _fq.q_cdx_prefix_lookup,
     "url_features": _fq.q_url_features,
+    "crawl_schedule_occupancy": _fq.q_crawl_schedule_occupancy,
 }
 
 

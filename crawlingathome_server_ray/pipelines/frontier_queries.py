@@ -149,6 +149,50 @@ def q_frontier_counters(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     })
 
 
+def q_crawl_schedule_occupancy(sf_dir: str,
+                               cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Politeness-schedule occupancy (SURVEY X70): per fetch round, how
+    many URLs are scheduled and how many hosts are active — the
+    capacity-planning curve of the crawl (early rounds saturate every
+    host; the long tail is a few deep hosts fetching alone, the Zipf
+    makespan signature).
+
+    No ranking shuffle at all: within a host, politeness ranks are
+    dense 1..k, so round r receives ``min(B, k_h - r·B)`` URLs from
+    every host with ``k_h > r·B`` — per-round occupancy is a pure
+    function of the per-host ALLOWED counts. One streaming per-batch
+    partial → a #hosts-bounded driver fold → an O(rounds · log hosts)
+    searchsorted/suffix-sum evaluation. The SQL oracle states the naive
+    form (GROUP BY fetch_round over the ranked CTE)."""
+    import numpy as np
+
+    gated = core.robots_gated(core.dedup_survivors(_slim(sf_dir, cfg)), cfg)
+
+    def host_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(b.column("allowed"))
+        g = pa.table({"host": b.column("host")}).group_by("host") \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["host", "n"])
+
+    hosts = (gated.map_batches(host_partial, batch_format="pyarrow")
+             .to_pandas().groupby("host")["n"].sum())
+    k = np.sort(hosts.to_numpy(np.int64))           # ascending host sizes
+    B = cfg.politeness_budget
+    suffix = np.concatenate((np.cumsum(k[::-1])[::-1], [0]))  # Σ k[i:]
+    n_rounds = int(-(-int(k[-1]) // B)) if len(k) else 0
+    rounds = np.arange(n_rounds, dtype=np.int64)
+    rows = []
+    for r in rounds:
+        lo = int(np.searchsorted(k, r * B, side="right"))   # k > rB
+        hi = int(np.searchsorted(k, (r + 1) * B, side="left"))  # k < (r+1)B
+        full = len(k) - max(hi, lo)                  # hosts giving B urls
+        part_sum = int(suffix[lo] - suffix[max(hi, lo)]) - (max(hi, lo) - lo) * r * B
+        rows.append((int(r), part_sum + full * B, len(k) - lo))
+    return pd.DataFrame(rows, columns=["fetch_round", "n_urls", "n_hosts"]) \
+        .astype({"fetch_round": "int64", "n_urls": "int64",
+                 "n_hosts": "int64"})
+
+
 RECRAWL_K = 100
 
 

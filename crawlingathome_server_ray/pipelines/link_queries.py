@@ -675,6 +675,106 @@ def q_host_hits(sf_dir: str):
     return hits_fit(sf_dir)
 
 
+SIM_MIN_SHARED = 3
+SIM_TAU = 0.30
+
+
+def q_host_outlink_similarity(sf_dir: str, min_shared: int = SIM_MIN_SHARED,
+                              tau: float = SIM_TAU, n_buckets: int = 64):
+    """Related-site detection by outlink Jaccard (SURVEY X69): host
+    pairs whose DISTINCT outlink-target sets overlap — the structural
+    'similar sites' signal (co-citation on the host graph; complements
+    X45's content-based mirror_hosts). Emits pairs with
+    ``shared >= min_shared`` and ``jaccard >= tau``.
+
+    Shape: the X65 overlap discipline on (dst_host, src_host) — the
+    host graph's rows are already DISTINCT (src, dst) pairs, so
+    stage 1 is ONE dst-bucketed slim shuffle (a dst never spans
+    buckets) with a per-bucket self-merge emitting ≤ C(in_host_deg, 2)
+    pair rows per dst; stage 2 folds pair partials in a second
+    integer-bucket shuffle (pair never spans buckets — the
+    host_link_graph asymmetric mix). Out-degrees are #hosts-bounded:
+    per-batch partials → driver fold → broadcast as two sorted arrays
+    + searchsorted (the seq_pack discipline). At 10^10 hosts the scale
+    knob is the standard df-cut: drop stop-dsts with in-host-degree >
+    K before pairing (Bayardo prefix-filter class) — not applied here
+    so the DuckDB oracle stays exact."""
+    import ray as _ray
+    from .frontier_core import tree_fingerprint  # noqa: F401 (cache key doc)
+
+    g = q_host_link_graph(sf_dir)  # materialized, rows = distinct pairs
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) \
+        if ray.is_initialized() else 4
+    nb = max(n_buckets, cpus * 4)
+
+    # out-degree per src host over distinct dsts: per-batch partial
+    # counts, driver fold bounded by #hosts, broadcast once
+    deg: dict = {}
+    parts = g.map_batches(
+        lambda b: (pa.table({"src_host": b.column("src_host")})
+                   .group_by("src_host").aggregate([([], "count_all")])
+                   .rename_columns(["src_host", "n"])),
+        batch_format="pyarrow", batch_size=SLIM_BATCH)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for h, n in zip(b.column("src_host").to_pylist(),
+                        b.column("n").to_pylist()):
+            deg[h] = deg.get(h, 0) + n
+    hosts_sorted = np.asarray(sorted(deg), dtype=object)
+    degs_sorted = np.asarray([deg[h] for h in hosts_sorted], np.int64)
+    hosts_ref = _ray.put(hosts_sorted)
+    degs_ref = _ray.put(degs_sorted)
+
+    def tag_dst(b: pa.Table) -> pa.Table:
+        dst = b.column("dst_host").to_pandas().to_numpy(dtype=object)
+        bucket = (pd.util.hash_array(dst) % nb).astype(np.int32)
+        return pa.table({"src_host": b.column("src_host"),
+                         "dst_host": b.column("dst_host"),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def pair_fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        d = gdf[["src_host", "dst_host"]]
+        m = d.merge(d, on="dst_host")
+        m = m[m["src_host_x"] < m["src_host_y"]]
+        out = (m.groupby(["src_host_x", "src_host_y"], sort=False)
+               .size().reset_index(name="shared"))
+        a = out["src_host_x"].to_numpy(dtype=object)
+        b2 = out["src_host_y"].to_numpy(dtype=object)
+        with np.errstate(over="ignore"):
+            mixed = (pd.util.hash_array(a)
+                     * np.uint64(0x9E3779B97F4A7C15)
+                     ^ pd.util.hash_array(b2))
+        return pd.DataFrame({
+            "host_a": a, "host_b": b2,
+            "shared": out["shared"].to_numpy(np.int64),
+            "bucket2": (mixed % nb).astype(np.int32)})
+
+    def final_fold(gdf: pd.DataFrame) -> pd.DataFrame:
+        out = (gdf.groupby(["host_a", "host_b"], sort=False,
+                           as_index=False)["shared"].sum())
+        ha = out["host_a"].to_numpy(dtype=object)
+        hb = out["host_b"].to_numpy(dtype=object)
+        hosts = _ray.get(hosts_ref)
+        dv = _ray.get(degs_ref)
+        da = dv[np.searchsorted(hosts, ha)]
+        db = dv[np.searchsorted(hosts, hb)]
+        sh = out["shared"].to_numpy(np.int64)
+        jac = sh.astype(np.float64) / (da + db - sh)
+        keep = (sh >= min_shared) & (jac >= tau)
+        return pd.DataFrame({
+            "host_a": ha[keep], "host_b": hb[keep],
+            "shared": sh[keep], "deg_a": da[keep], "deg_b": db[keep],
+            "jaccard": jac[keep]})
+
+    return (coalesce_slim(
+                coalesce_slim(g.map_batches(tag_dst, batch_format="pyarrow",
+                                            batch_size=SLIM_BATCH))
+                .groupby("bucket")
+                .map_groups(pair_fold, batch_format="pandas"))
+            .groupby("bucket2")
+            .map_groups(final_fold, batch_format="pandas"))
+
+
 def link_oracle_sql(linkpages_glob: str) -> dict[str, str]:
     """DuckDB oracles over the SAME parquet files the Ray queries read."""
     edges = f"""
@@ -780,6 +880,25 @@ def link_oracle_sql(linkpages_glob: str) -> dict[str, str]:
                  row_number() OVER (PARTITION BY dst_host
                                     ORDER BY n DESC, anchor) AS anchor_rank
           FROM c QUALIFY anchor_rank <= {ANCHOR_TOPK}""",
+        "host_outlink_similarity": f"""
+          WITH he AS ({host_graph}),
+          e AS (SELECT DISTINCT src_host, dst_host FROM he),
+          deg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS deg
+                  FROM e GROUP BY 1),
+          p AS (SELECT a.src_host AS host_a, b.src_host AS host_b,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM e a JOIN e b ON a.dst_host = b.dst_host
+                                 AND a.src_host < b.src_host
+                GROUP BY 1, 2)
+          SELECT host_a, host_b, shared,
+                 da.deg AS deg_a, db.deg AS deg_b,
+                 CAST(shared AS DOUBLE) / (da.deg + db.deg - shared)
+                   AS jaccard
+          FROM p JOIN deg da ON p.host_a = da.src_host
+                 JOIN deg db ON p.host_b = db.src_host
+          WHERE shared >= {SIM_MIN_SHARED}
+            AND CAST(shared AS DOUBLE) / (da.deg + db.deg - shared)
+                >= {SIM_TAU}""",
     }
 
 
@@ -792,6 +911,7 @@ LINK_QUERIES = {
     "inlink_anchor_topk": q_inlink_anchor_topk,
     "frontier_expand": q_frontier_expand,
     "host_bfs_depth": q_host_bfs_depth,
+    "host_outlink_similarity": q_host_outlink_similarity,
     "host_pagerank": q_host_pagerank,   # rows-only (iterative)
     "host_hits": q_host_hits,           # rows-only (iterative)
     "host_communities": q_host_communities,  # rows-only (iterative)

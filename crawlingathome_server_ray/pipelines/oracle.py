@@ -120,6 +120,12 @@ SELECT host, seg, n,
                           ORDER BY n DESC, seg) AS seg_rank
 FROM segs QUALIFY seg_rank <= {pattern_k}""",
 
+        "crawl_schedule_occupancy": cte + f"""
+SELECT (politeness_rank - 1) // {budget} AS fetch_round,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM ranked GROUP BY 1""",
+
         # SURT / CDX family (X66-X68): surted CTE computes the public
         # CommonCrawl/pywb CDXJ sort key entirely in ANSI SQL
         "url_surt_key": cte + r""", surted AS (

@@ -23,6 +23,7 @@ QUERIES = {
     "url_surt_key": fq.q_url_surt_key,
     "cdx_prefix_lookup": fq.q_cdx_prefix_lookup,
     "url_features": fq.q_url_features,
+    "crawl_schedule_occupancy": fq.q_crawl_schedule_occupancy,
 }
 
 

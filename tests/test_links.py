@@ -105,7 +105,8 @@ def test_link_oracles_exact_without_ray():
 
 _ORACLED = ["outlink_extract", "host_link_graph", "anchor_text",
             "host_degree", "reciprocal_hosts", "inlink_anchor_topk",
-            "frontier_expand", "host_bfs_depth"]
+            "frontier_expand", "host_bfs_depth",
+            "host_outlink_similarity"]
 
 
 def test_bfs_depth_scalar_twin(ray_session):
@@ -344,3 +345,26 @@ def test_label_prop_planted_cliques():
         labels = new
     assert len(set(labels[:3])) == 1 and len(set(labels[3:])) == 1
     assert labels[0] != labels[3]
+
+
+def test_outlink_similarity_invariants(ray_session):
+    """Jaccard bounds and a scalar set twin: every emitted pair's
+    jaccard must equal |out(a) ∩ out(b)| / |out(a) ∪ out(b)| computed
+    from the raw edge sets, and respect the (min_shared, tau) gate."""
+    from crawlingathome_server_ray.pipelines.link_queries import (
+        SIM_MIN_SHARED, SIM_TAU, q_host_link_graph,
+        q_host_outlink_similarity)
+
+    out = q_host_outlink_similarity(SF).to_pandas()
+    assert len(out) > 0
+    assert (out["shared"] >= SIM_MIN_SHARED).all()
+    assert (out["jaccard"] >= SIM_TAU).all() and (out["jaccard"] <= 1).all()
+
+    g = q_host_link_graph(SF).to_pandas()
+    sets = {h: set(grp["dst_host"]) for h, grp in g.groupby("src_host")}
+    for r in out.sample(n=min(25, len(out)), random_state=7).itertuples():
+        a, b = sets[r.host_a], sets[r.host_b]
+        inter, union = len(a & b), len(a | b)
+        assert r.shared == inter
+        assert r.deg_a == len(a) and r.deg_b == len(b)
+        assert abs(r.jaccard - inter / union) < 1e-12
