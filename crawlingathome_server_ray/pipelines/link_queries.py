@@ -687,20 +687,24 @@ def q_host_outlink_similarity(sf_dir: str, min_shared: int = SIM_MIN_SHARED,
     X45's content-based mirror_hosts). Emits pairs with
     ``shared >= min_shared`` and ``jaccard >= tau``.
 
-    Shape: the X65 overlap discipline on (dst_host, src_host) — the
-    host graph's rows are already DISTINCT (src, dst) pairs, so
-    stage 1 is ONE dst-bucketed slim shuffle (a dst never spans
-    buckets) with a per-bucket self-merge emitting ≤ C(in_host_deg, 2)
-    pair rows per dst; stage 2 folds pair partials in a second
-    integer-bucket shuffle (pair never spans buckets — the
-    host_link_graph asymmetric mix). Out-degrees are #hosts-bounded:
-    per-batch partials → driver fold → broadcast as two sorted arrays
-    + searchsorted (the seq_pack discipline). At 10^10 hosts the scale
+    Shape: the X65 overlap discipline on (dst_host, src_host), all
+    integer after stage 0 — the host graph's rows are already DISTINCT
+    (src, dst) pairs, so stage 1 is ONE dst-bucketed slim shuffle of
+    12-byte (dst_h, src_id) rows (a dst never spans buckets; src hosts
+    are dictionary-encoded against the #hosts-bounded broadcast
+    universe, dsts by 64-bit hash — the X65/snapshot_delta collision
+    bound, ~(8·10⁴)²/2⁶⁵ at sfscale). Per bucket, pairs are emitted by
+    batched ``triu_indices`` over same-in-degree dst groups (pure
+    numpy; the first pandas string self-merge measured 24 s at sf0.1 —
+    object-dtype pair keys dominated) and folded to int64-packed
+    ``a·H+b`` keys; stage 2 folds pair partials in a second
+    integer-bucket shuffle and only the ≤ C(#hosts,2) survivors decode
+    back to strings. Out-degrees broadcast as sorted arrays +
+    searchsorted (the seq_pack discipline). At 10^10 hosts the scale
     knob is the standard df-cut: drop stop-dsts with in-host-degree >
     K before pairing (Bayardo prefix-filter class) — not applied here
     so the DuckDB oracle stays exact."""
     import ray as _ray
-    from .frontier_core import tree_fingerprint  # noqa: F401 (cache key doc)
 
     g = q_host_link_graph(sf_dir)  # materialized, rows = distinct pairs
 
@@ -710,59 +714,71 @@ def q_host_outlink_similarity(sf_dir: str, min_shared: int = SIM_MIN_SHARED,
 
     # out-degree per src host over distinct dsts: per-batch partial
     # counts, driver fold bounded by #hosts, broadcast once
-    deg: dict = {}
-    parts = g.map_batches(
+    frames = [b.to_pandas() for b in g.map_batches(
         lambda b: (pa.table({"src_host": b.column("src_host")})
                    .group_by("src_host").aggregate([([], "count_all")])
                    .rename_columns(["src_host", "n"])),
         batch_format="pyarrow", batch_size=SLIM_BATCH)
-    for b in parts.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for h, n in zip(b.column("src_host").to_pylist(),
-                        b.column("n").to_pylist()):
-            deg[h] = deg.get(h, 0) + n
-    hosts_sorted = np.asarray(sorted(deg), dtype=object)
-    degs_sorted = np.asarray([deg[h] for h in hosts_sorted], np.int64)
+        .iter_batches(batch_format="pyarrow", batch_size=65536)]
+    deg = (pd.concat(frames).groupby("src_host")["n"].sum()
+           .sort_index())
+    hosts_sorted = deg.index.to_numpy(dtype=object)
+    degs_sorted = deg.to_numpy(np.int64)
+    H = len(hosts_sorted)
     hosts_ref = _ray.put(hosts_sorted)
     degs_ref = _ray.put(degs_sorted)
 
     def tag_dst(b: pa.Table) -> pa.Table:
+        src = b.column("src_host").to_pandas().to_numpy(dtype=object)
         dst = b.column("dst_host").to_pandas().to_numpy(dtype=object)
-        bucket = (pd.util.hash_array(dst) % nb).astype(np.int32)
-        return pa.table({"src_host": b.column("src_host"),
-                         "dst_host": b.column("dst_host"),
-                         "bucket": pa.array(bucket, pa.int32())})
+        src_id = np.searchsorted(_ray.get(hosts_ref), src).astype(np.int32)
+        dst_h = pd.util.hash_array(dst).astype(np.int64)
+        return pa.table({"dst_h": pa.array(dst_h),
+                         "src_id": pa.array(src_id),
+                         "bucket": pa.array(
+                             (dst_h % nb).astype(np.int32), pa.int32())})
 
     def pair_fold(gdf: pd.DataFrame) -> pd.DataFrame:
-        d = gdf[["src_host", "dst_host"]]
-        m = d.merge(d, on="dst_host")
-        m = m[m["src_host_x"] < m["src_host_y"]]
-        out = (m.groupby(["src_host_x", "src_host_y"], sort=False)
-               .size().reset_index(name="shared"))
-        a = out["src_host_x"].to_numpy(dtype=object)
-        b2 = out["src_host_y"].to_numpy(dtype=object)
-        with np.errstate(over="ignore"):
-            mixed = (pd.util.hash_array(a)
-                     * np.uint64(0x9E3779B97F4A7C15)
-                     ^ pd.util.hash_array(b2))
-        return pd.DataFrame({
-            "host_a": a, "host_b": b2,
-            "shared": out["shared"].to_numpy(np.int64),
-            "bucket2": (mixed % nb).astype(np.int32)})
+        # sort by (dst, src): groups contiguous, src ascending ⇒ a < b
+        order = np.lexsort((gdf["src_id"].to_numpy(np.int32),
+                            gdf["dst_h"].to_numpy(np.int64)))
+        dst = gdf["dst_h"].to_numpy(np.int64)[order]
+        src = gdf["src_id"].to_numpy(np.int32)[order]
+        n = len(dst)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(dst[1:] != dst[:-1]) + 1))
+        lens = np.diff(np.append(starts, n))
+        keys = []
+        # batch all same-in-degree dst groups through one triu_indices
+        for k in np.unique(lens):
+            if k < 2:
+                continue
+            s = starts[lens == k]
+            mat = src[(s[:, None] + np.arange(k)[None, :])]
+            iu, ju = np.triu_indices(int(k), 1)
+            a = mat[:, iu].ravel().astype(np.int64)
+            b2 = mat[:, ju].ravel().astype(np.int64)
+            keys.append(a * H + b2)
+        if not keys:
+            return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                 "shared": pd.Series(dtype="int64"),
+                                 "bucket2": pd.Series(dtype="int32")})
+        key, shared = np.unique(np.concatenate(keys), return_counts=True)
+        return pd.DataFrame({"key": key, "shared": shared.astype(np.int64),
+                             "bucket2": (key % nb).astype(np.int32)})
 
     def final_fold(gdf: pd.DataFrame) -> pd.DataFrame:
-        out = (gdf.groupby(["host_a", "host_b"], sort=False,
-                           as_index=False)["shared"].sum())
-        ha = out["host_a"].to_numpy(dtype=object)
-        hb = out["host_b"].to_numpy(dtype=object)
-        hosts = _ray.get(hosts_ref)
-        dv = _ray.get(degs_ref)
-        da = dv[np.searchsorted(hosts, ha)]
-        db = dv[np.searchsorted(hosts, hb)]
+        out = gdf.groupby("key", sort=False, as_index=False)["shared"].sum()
+        key = out["key"].to_numpy(np.int64)
         sh = out["shared"].to_numpy(np.int64)
+        ia, ib = key // H, key % H
+        dv = _ray.get(degs_ref)
+        da, db = dv[ia], dv[ib]
         jac = sh.astype(np.float64) / (da + db - sh)
         keep = (sh >= min_shared) & (jac >= tau)
+        hosts = _ray.get(hosts_ref)
         return pd.DataFrame({
-            "host_a": ha[keep], "host_b": hb[keep],
+            "host_a": hosts[ia[keep]], "host_b": hosts[ib[keep]],
             "shared": sh[keep], "deg_a": da[keep], "deg_b": db[keep],
             "jaccard": jac[keep]})
 
