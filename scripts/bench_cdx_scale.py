@@ -6,9 +6,12 @@ Times, over a large synthetic frontier (default sfscale, 9.6M URLs):
                      one bucketed rank shuffle)
   - cdx build      : one-time bucketed index build (one streaming pass)
   - cdx lookup     : domain probe against the built index — must read
-                     only the probe buckets, so its time should be a
-                     small fraction of any full-table pass and roughly
-                     flat in corpus size (the pruned-read claim).
+                     only the probe buckets, so its cost scales with
+                     the probed buckets' size, never the corpus. NB the
+                     deterministic probes (lexicographically-smallest
+                     hosts) are the synth frontier's Zipf-LARGEST
+                     hosts, i.e. the worst-case domain query — the
+                     lookup-vs-fullpass ratio is an upper bound.
 
 Usage: python scripts/bench_cdx_scale.py [sf_dir]   (default sfscale)
 Env: RAY_GRAFT_CPUS (default 32). Prints one JSON line.
