@@ -301,8 +301,10 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
     hex_chars = int(os.environ.get("GRAFT_HEX_CHARS", "1"))
     wave = int(os.environ.get("GRAFT_WAVE_SIZE", "8"))
     overlap = os.environ.get("GRAFT_GPU_OVERLAP", "1") != "0"
+    layout = os.environ.get("GRAFT_STAGING_LAYOUT") or None
     cfg = PipelineConfig(checkpoint_dir=ckpt, partition_hex_chars=hex_chars,
-                         wave_size=wave, gpu_overlap=overlap)
+                         wave_size=wave, gpu_overlap=overlap,
+                         staging_layout=layout)
     s = run_crawl(sf_dir, cfg, resume=False)
     shutil.rmtree(ckpt, ignore_errors=True)
     ray.shutdown()

@@ -34,6 +34,18 @@ class PipelineConfig:
     # count is harmless and skipping the shuffle is measured faster).
     staging_sort: bool | None = None
 
+    # staging layout engine for that one exchange. None = auto:
+    # "compact" iff partition_hex_chars >= 2, else "plain"; honours
+    # staging_sort when that (older) knob is set. "sort" = global
+    # range-shuffle by partition_id (moves every html byte through
+    # Ray's sort — its fixed coordination cost is the bootstrap's
+    # Amdahl term at small core counts). "compact" = unsorted hive
+    # write, then the X63 per-partition compaction inside the .build
+    # dir (one independent Ray task per partition — no all-to-all, same
+    # few-files-per-partition layout; measured on sfxl/hex2: bootstrap
+    # T8 50.2 s → 32 s class, see BASELINE.md round-5 records).
+    staging_layout: str | None = None  # None | "plain" | "sort" | "compact"
+
     # RFC 3986 §6.2.2 percent-encoding normalization in the canonicalizer.
     # Default OFF: the oracle-parity canonical form. Real crawl frontiers
     # turn this on so %7E-vs-~ duplicates dedup together.

@@ -103,16 +103,32 @@ def bootstrap_staging(sf_dir: str, cfg: PipelineConfig, staging: str) -> str:
                                                  cfg.pct_normalize_urls),
                         batch_format="pyarrow", batch_size=cfg.batch_size,
                         zero_copy_batch=True)
-    # optional global sort by partition_id (≙ the reference's bootstrap sort
-    # by shard number, update_db.py:107) — THE pipeline's one full-data
-    # shuffle; see PipelineConfig.staging_sort for the file-count-vs-shuffle
-    # trade (measured: hex2/sfscale downstream 111 s → 60 s with the sort,
-    # bootstrap +117 s once; mandatory at real scale, skipped at 16-way).
-    sort = (cfg.partition_hex_chars >= 2 if cfg.staging_sort is None
-            else cfg.staging_sort)
-    if sort:
+    # partition-contiguous staging layout (≙ the reference's bootstrap sort
+    # by shard number, update_db.py:107). Unsorted, every write task emits
+    # a file into every partition dir it saw (blocks × partitions files —
+    # measured hex2/sfscale downstream 111 s → 60 s once contiguous).
+    # Two engines produce the contiguous layout:
+    #   "sort"    — global range shuffle by partition_id: one all-to-all
+    #               that moves every html byte and whose fixed
+    #               coordination cost is the bootstrap's Amdahl serial
+    #               term at small core counts (phase efficiency 0.62
+    #               measured at sfxl/hex2, BASELINE.md);
+    #   "compact" — unsorted hive write + X63 per-partition compaction
+    #               INSIDE the .build dir: one independent Ray task per
+    #               partition, no exchange, embarrassingly parallel —
+    #               the default at hex ≥ 2.
+    layout = cfg.staging_layout
+    if layout is None:
+        if cfg.staging_sort is not None:
+            layout = "sort" if cfg.staging_sort else "plain"
+        else:
+            layout = "compact" if cfg.partition_hex_chars >= 2 else "plain"
+    if layout == "sort":
         ds = ds.sort("partition_id")
     ds.write_parquet(tmp, partition_cols=["partition_id"])
+    if layout == "compact":
+        from .maintenance import compact_partitions
+        compact_partitions(tmp)
     # persist per-partition row counts ONCE, here (distributed footer
     # scan), so the wave loop never does driver-side staging I/O: a wave
     # at hex2 spans thousands of files and a per-wave footer scan is

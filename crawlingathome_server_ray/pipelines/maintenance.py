@@ -63,29 +63,53 @@ def _compact_one(d: str, target_rows: int) -> tuple[int, int, int]:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     tag = uuid.uuid4().hex[:8]
-    # stream fragments through a row-capped writer: peak memory is one
-    # row group per side, never the whole partition
+    # stream fragments through a row-capped writer, COALESCING source
+    # row groups to ~64k-row output groups: a partition assembled from
+    # thousands of tiny fragments (the unsorted staging write's
+    # blocks×partitions shape) would otherwise inherit thousands of
+    # ~1k-row row groups, and every later scan pays per-row-group
+    # overhead — measured as a 25.5 s → 40.1 s cpu-stage regression at
+    # sfxl/hex2 before coalescing. Peak memory is one output row group,
+    # never the whole partition.
+    group_rows = min(target_rows, 1 << 16)
     writer = None
     n_out = 0
     rows = 0
     in_file = 0
+    pending: list = []
+    n_pending = 0
+
+    def flush(schema) -> None:
+        nonlocal writer, pending, n_pending, in_file
+        if not pending:
+            return
+        import pyarrow as _pa
+        t = _pa.concat_tables(pending).combine_chunks()
+        pending, n_pending = [], 0
+        if writer is None:
+            writer = pq.ParquetWriter(
+                os.path.join(tmp, f"compact-{tag}-{n_out}.parquet"), schema)
+        writer.write_table(t, row_group_size=group_rows)
+        in_file += t.num_rows
+
     try:
+        schema = None
         for f in files:
             pf = pq.ParquetFile(f)
+            schema = pf.schema_arrow
             for rg in range(pf.num_row_groups):
                 t = pf.read_row_group(rg)
                 rows += t.num_rows
-                in_file += t.num_rows
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(tmp, f"compact-{tag}-{n_out}.parquet"),
-                        t.schema)
-                writer.write_table(t)
+                pending.append(t)
+                n_pending += t.num_rows
+                if n_pending >= group_rows:
+                    flush(schema)
                 if in_file >= target_rows:
                     writer.close()
                     writer = None
                     n_out += 1
                     in_file = 0
+        flush(schema)
     finally:
         if writer is not None:
             writer.close()

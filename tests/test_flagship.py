@@ -292,3 +292,36 @@ def test_gpu_overlap_equivalence(ray_session):
                     {p: r["counters"] for p, r in m.all().items()}, sched)
         shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
     assert outs[False] == outs[True]
+
+
+def test_staging_compact_equals_sort_layout(ray_session):
+    """The two partition-contiguous staging engines must stage identical
+    ROWS per partition (the exchange is layout-only), and the compact
+    layout must actually be compact — not blocks × partitions files."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from crawlingathome_server_ray.pipelines.frontier import bootstrap_staging
+
+    roots = {}
+    for layout in ("sort", "compact"):
+        cfg = PipelineConfig(checkpoint_dir=f"/tmp/graft_ckpt_lay_{layout}",
+                             partition_hex_chars=2, staging_layout=layout)
+        shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+        staging = os.path.join(cfg.checkpoint_dir, "sf0.001", "staging")
+        os.makedirs(os.path.dirname(staging), exist_ok=True)
+        roots[layout] = bootstrap_staging(SF, cfg, staging)
+
+    a = pq.read_table(roots["sort"]).to_pandas()
+    b = pq.read_table(roots["compact"]).to_pandas()
+    key = ["partition_id", "url_canon", "url", "warc_ts"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    # compact: ≤ a couple of files per partition dir (row-capped writer)
+    for d in glob.glob(os.path.join(roots["compact"], "partition_id=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2, d
+    for layout in roots:
+        shutil.rmtree(f"/tmp/graft_ckpt_lay_{layout}", ignore_errors=True)
