@@ -73,6 +73,7 @@ _FRONTIER_QUERIES = {
     "cdx_prefix_lookup": _fq.q_cdx_prefix_lookup,
     "url_features": _fq.q_url_features,
     "crawl_schedule_occupancy": _fq.q_crawl_schedule_occupancy,
+    "host_lookalikes": _fq.q_host_lookalikes,
 }
 
 

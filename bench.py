@@ -173,6 +173,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
               lambda: consume(fq.q_url_features(sf_dir)))
         timed("crawl_schedule_occupancy",
               lambda: consume(fq.q_crawl_schedule_occupancy(sf_dir)))
+        timed("host_lookalikes",
+              lambda: consume(fq.q_host_lookalikes(sf_dir)))
         timed("host_outlink_similarity",
               lambda: consume(lq.q_host_outlink_similarity(sf_dir)))
         timed("dsir_select", lambda: consume(cu.q_dsir_select(sf_dir)))

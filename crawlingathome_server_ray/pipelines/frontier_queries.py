@@ -1245,3 +1245,90 @@ def q_url_features(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         .select_columns(["url_canon"]) \
         .map_batches(lambda b: url_features_table(b.column("url_canon")),
                      batch_format="pyarrow")
+
+
+# -------------------------------------------- host look-alikes (X71)
+def q_host_lookalikes(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                      n_buckets: int = 64):
+    """Look-alike / typosquat host detection (SURVEY X71): every host
+    pair at edit distance exactly 1, via the public FastSS/SymSpell
+    deletion-neighborhood scheme — two hosts are distance-1 iff they
+    share a deletion variant at the SAME position (substitution) or one
+    IS a deletion variant of the other (insertion/deletion). No pairwise
+    edit-distance matrix: each host emits len(host) variant rows plus
+    one identity row, ONE variant-hash-bucketed shuffle co-locates every
+    witness string (a pair's witness is a single string ⇒ never spans
+    buckets), and the per-bucket fold is two int-indexed pandas merges.
+    Variant generation is vectorized Arrow slicing per position (~25
+    kernel calls, no per-host loop). Distinct-host dedup needs no
+    separate pass: duplicate hosts across batches emit identical variant
+    rows, collapsed by the fold's drop_duplicates.
+
+    Crawl hygiene analog of X45's content-based mirror_hosts: catches
+    look-alike DOMAINS (typosquats, spam host farms) before any content
+    is fetched. SQL-oracled via LATERAL deletion variants."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def variants(b: pa.Table) -> pa.Table:
+        hosts = b.column("host")
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        hosts = pc.unique(hosts)
+        lens = pc.utf8_length(hosts)
+        max_len = int(pc.max(lens).as_py() or 0)
+        out_h, out_i, out_v = [hosts], [np.zeros(len(hosts), np.int32)], \
+            [hosts]                                   # identity rows (i=0)
+        for i in range(1, max_len + 1):
+            keep = pc.greater_equal(lens, i)
+            h = hosts.filter(keep)
+            v = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(h, 0, i - 1),
+                pc.utf8_slice_codeunits(h, i, 1 << 30), "")
+            out_h.append(h)
+            out_i.append(np.full(len(h), i, np.int32))
+            out_v.append(v)
+        h = pa.concat_arrays([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in out_h])
+        v = pa.concat_arrays([a.combine_chunks() if isinstance(
+            a, pa.ChunkedArray) else a for a in out_v])
+        i = pa.array(np.concatenate(out_i), pa.int32())
+        bucket = (pd.util.hash_array(v.to_pandas().to_numpy(dtype=object))
+                  % n_buckets).astype(np.int32)
+        return pa.table({"host": h, "i": i, "v": v,
+                         "bucket": pa.array(bucket, pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["host", "i", "v"])
+        vars_ = g[g["i"] > 0]
+        ident = g[g["i"] == 0][["host", "v"]]
+        # substitution: same deletion variant at the same position
+        m = vars_.merge(vars_, on=["v", "i"])
+        m = m[m["host_x"] < m["host_y"]]
+        sub = (m[["host_x", "host_y"]].drop_duplicates()
+               .rename(columns={"host_x": "host_a", "host_y": "host_b"}))
+        sub["kind"] = "substitution"
+        # insertion/deletion: a variant equals another host verbatim
+        d = vars_.merge(ident, left_on="v", right_on="v",
+                        suffixes=("", "_short"))
+        d = d[d["host"] != d["host_short"]]
+        if len(d):
+            lo = np.minimum(d["host"].to_numpy(dtype=object),
+                            d["host_short"].to_numpy(dtype=object))
+            hi = np.maximum(d["host"].to_numpy(dtype=object),
+                            d["host_short"].to_numpy(dtype=object))
+            indel = pd.DataFrame({"host_a": lo, "host_b": hi}) \
+                .drop_duplicates()
+            indel["kind"] = "indel"
+        else:
+            indel = pd.DataFrame({"host_a": pd.Series(dtype=object),
+                                  "host_b": pd.Series(dtype=object),
+                                  "kind": pd.Series(dtype=object)})
+        return pd.concat([sub, indel], ignore_index=True)
+
+    return (core.coalesce_slim(
+                _slim(sf_dir, cfg).select_columns(["host"])
+                .map_batches(variants, batch_format="pyarrow",
+                             batch_size=65536))
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))

@@ -146,6 +146,21 @@ FROM surted""",
 SELECT host, surt, url_canon, ts_us FROM surted
 WHERE host IN (SELECT DISTINCT host FROM dedup ORDER BY host LIMIT {cdx_k})""",
 
+        "host_lookalikes": cte + r""", hosts AS (
+  SELECT DISTINCT host FROM canon),
+vars AS (
+  SELECT host, i, substr(host, 1, i - 1) || substr(host, i + 1) AS v
+  FROM hosts, LATERAL unnest(range(1, length(host) + 1)) AS t(i)),
+sub AS (
+  SELECT DISTINCT a.host AS host_a, b.host AS host_b,
+         'substitution' AS kind
+  FROM vars a JOIN vars b ON a.v = b.v AND a.i = b.i AND a.host < b.host),
+del AS (
+  SELECT DISTINCT least(a.host, b.host) AS host_a,
+         greatest(a.host, b.host) AS host_b, 'indel' AS kind
+  FROM vars a JOIN hosts b ON a.v = b.host AND a.host <> b.host)
+SELECT * FROM sub UNION SELECT * FROM del""",
+
         "url_features": cte + r""", pq AS (
   SELECT url_canon,
          regexp_replace(url_canon, '^[a-z]+://[^/?#]*', '') AS path_full

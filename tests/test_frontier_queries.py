@@ -24,6 +24,7 @@ QUERIES = {
     "cdx_prefix_lookup": fq.q_cdx_prefix_lookup,
     "url_features": fq.q_url_features,
     "crawl_schedule_occupancy": fq.q_crawl_schedule_occupancy,
+    "host_lookalikes": fq.q_host_lookalikes,
 }
 
 
@@ -362,3 +363,78 @@ def test_cdx_lookup_reads_only_probe_buckets(ray_session):
         batch_format="pyarrow").to_pandas() \
         .sort_values(["surt", "url_canon"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(pruned, full[pruned.columns.tolist()])
+
+
+def test_lookalikes_indel_leg_and_twin(ray_session):
+    """The synth hosts are fixed-width (substitution pairs only), so the
+    insertion/deletion leg needs a crafted host list; verify both legs
+    of the variant+fold machinery against a brute-force Levenshtein-1
+    twin (same code path as the query, driven via a stub source)."""
+    import itertools
+
+    hosts = ["ab.com", "abc.com", "abd.com", "xabc.com", "ab.org",
+             "zzz.net", "ab.comm", "b.com"]
+
+    def dist1(a, b):
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if abs(la - lb) != 1:
+            return False
+        s, l = (a, b) if la < lb else (b, a)
+        return any(l[:i] + l[i + 1:] == s for i in range(len(l)))
+
+    want = sorted((min(a, b), max(a, b))
+                  for a, b in itertools.combinations(hosts, 2)
+                  if dist1(a, b))
+    assert want, "fixture must contain distance-1 pairs"
+
+    out = _run_lookalike_fold(hosts)
+    got = set()
+    for r in out.itertuples():
+        assert dist1(r.host_a, r.host_b), (r.host_a, r.host_b)
+        expected_kind = ("substitution"
+                         if len(r.host_a) == len(r.host_b) else "indel")
+        assert r.kind == expected_kind
+        got.add((r.host_a, r.host_b))
+    assert sorted(got) == want
+    assert ("ab.com", "ab.comm") in got               # indel leg exercised
+
+
+def _run_lookalike_fold(hosts):
+    """Drive q_host_lookalikes' real variant+fold stages over an explicit
+    host list by stubbing the source Dataset (single-bucket fold — the
+    bucketing only partitions work, a witness never spans buckets)."""
+    import types
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawlingathome_server_ray.pipelines import frontier_queries as fqm
+
+    class _FakeDs:
+        def __init__(self, t):
+            self.t = t
+
+        def select_columns(self, cols):
+            return self
+
+        def map_batches(self, fn, **kw):
+            return _FakeDs(fn(self.t))
+
+    orig_slim = fqm._slim
+    orig_coalesce = fqm.core.coalesce_slim
+    try:
+        fqm._slim = lambda sf, cfg: _FakeDs(
+            pa.table({"host": pa.array(hosts)}))
+        fqm.core.coalesce_slim = lambda ds: types.SimpleNamespace(
+            groupby=lambda col: types.SimpleNamespace(
+                map_groups=lambda fn, **kw: fn(ds.t.to_pandas())))
+        out = fqm.q_host_lookalikes("/nonexistent")
+    finally:
+        fqm._slim = orig_slim
+        fqm.core.coalesce_slim = orig_coalesce
+    assert isinstance(out, pd.DataFrame)
+    return out
